@@ -1,0 +1,20 @@
+"""Test configuration.
+
+Tests run on CPU with 8 virtual XLA devices so multi-chip sharding paths can be
+exercised without TPU hardware (mirrors the reference's FORCE_CPU=1 CPU-backend
+strategy, reference tests/conftest.py:16-24). Physics parity tests enable f64 to
+compare against the MuJoCo C reference at tight tolerance.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+  os.environ["XLA_FLAGS"] = (
+    flags + " --xla_force_host_platform_device_count=8"
+  ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
