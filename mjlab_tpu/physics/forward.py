@@ -1,0 +1,79 @@
+"""Forward dynamics pipeline and integrators.
+
+`forward` mirrors mj_forward's stage order; `step` = forward + integrate.
+The whole pipeline is a pure function (Topology closed over, Model/Data
+traced) — one jitted, buffer-donated call per physics substep replaces the
+reference's CUDA graph replay (reference sim/sim.py:186-199).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from mjlab_tpu.physics import collision as coll
+from mjlab_tpu.physics import constraint, kinematics, sensors, smooth, solver
+from mjlab_tpu.physics.types import Data, Integrator, Model, Topology
+
+
+def fwd_position(tp: Topology, m: Model, d: Data) -> Data:
+  d = kinematics.kinematics(tp, m, d)
+  d = smooth.com_pos(tp, m, d)
+  d = smooth.crb(tp, m, d)
+  d = smooth.factor_m(tp, m, d)
+  d = coll.collision(tp, m, d)
+  d = constraint.make_constraint(tp, m, d)
+  d = sensors.sensor_pos(tp, m, d)
+  return d
+
+
+def fwd_velocity(tp: Topology, m: Model, d: Data) -> Data:
+  d = smooth.com_vel(tp, m, d)
+  d = smooth.rne(tp, m, d)
+  d = smooth.passive(tp, m, d)
+  d = sensors.sensor_vel(tp, m, d)
+  return d
+
+
+def forward(tp: Topology, m: Model, d: Data) -> Data:
+  d = fwd_position(tp, m, d)
+  d = fwd_velocity(tp, m, d)
+  d = smooth.fwd_actuation(tp, m, d)
+  d = smooth.fwd_acceleration(tp, m, d)
+  d = solver.solve(tp, m, d)
+  d = sensors.sensor_acc(tp, m, d)
+  return d
+
+
+def _implicit_matrix(tp: Topology, m: Model, d: Data) -> jax.Array:
+  """M − h·∂f/∂v for the integrator implicit solve.
+
+  Euler (eulerdamp): adds h·diag(dof_damping).
+  Implicitfast: additionally makes the actuator velocity-gain implicit
+  (affine bias b2 → h·Σ_u gear_u² · (−b2_u) on the dof diagonal).
+  """
+  h = m.opt.timestep
+  diag = h * m.dof_damping
+  if m.opt.integrator == Integrator.IMPLICITFAST and tp.nu > 0:
+    _, moment = smooth.transmission(tp, m, d)
+    dfdv = -m.actuator_biasprm[:, 2]  # −b2 = kd ≥ 0 for PD actuators
+    diag = diag + h * jnp.sum(dfdv[:, None] * moment * moment, axis=0)
+  return d.qM + jnp.diag(diag)
+
+
+def integrate(tp: Topology, m: Model, d: Data) -> Data:
+  """Semi-implicit Euler / implicitfast position-velocity update."""
+  h = m.opt.timestep
+  qfrc = d.qfrc_smooth + d.qfrc_constraint
+  mat = _implicit_matrix(tp, m, d)
+  L = jnp.linalg.cholesky(mat)
+  y = jax.scipy.linalg.solve_triangular(L, qfrc, lower=True)
+  qacc_int = jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+  qvel = d.qvel + h * qacc_int
+  qpos = kinematics.integrate_pos(tp, m, d.qpos, qvel, h)
+  return d.replace(qpos=qpos, qvel=qvel, time=d.time + h)
+
+
+def step(tp: Topology, m: Model, d: Data) -> Data:
+  d = forward(tp, m, d)
+  return integrate(tp, m, d)

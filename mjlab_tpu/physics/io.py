@@ -1,0 +1,398 @@
+"""Host-side conversion: compiled mujoco.MjModel → (Topology, Model), make_data.
+
+This is the device-upload boundary (the analog of mjwarp.put_model/put_data,
+reference sim/sim.py:116-126). The MuJoCo C library remains the model frontend
+(MjSpec composition happens in mjlab_tpu.scene); this module snapshots the
+compiled model into static structure + jnp parameter leaves.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import mujoco
+import numpy as np
+
+from mjlab_tpu.physics.types import (
+  ConeType,
+  Contact,
+  Data,
+  GeomPair,
+  Integrator,
+  Model,
+  Option,
+  Topology,
+)
+
+_G = mujoco.mjtGeom
+
+# Contact-slot capacity per supported (type1, type2) pair, type1 <= type2.
+_PAIR_NCON: dict[tuple[int, int], int] = {
+  (_G.mjGEOM_PLANE, _G.mjGEOM_SPHERE): 1,
+  (_G.mjGEOM_PLANE, _G.mjGEOM_CAPSULE): 2,
+  (_G.mjGEOM_PLANE, _G.mjGEOM_CYLINDER): 4,
+  (_G.mjGEOM_PLANE, _G.mjGEOM_BOX): 4,
+  (_G.mjGEOM_PLANE, _G.mjGEOM_ELLIPSOID): 1,
+  (_G.mjGEOM_SPHERE, _G.mjGEOM_SPHERE): 1,
+  (_G.mjGEOM_SPHERE, _G.mjGEOM_CAPSULE): 1,
+  (_G.mjGEOM_SPHERE, _G.mjGEOM_BOX): 1,
+  (_G.mjGEOM_CAPSULE, _G.mjGEOM_CAPSULE): 1,
+  (_G.mjGEOM_CAPSULE, _G.mjGEOM_BOX): 2,
+  (_G.mjGEOM_HFIELD, _G.mjGEOM_SPHERE): 4,
+  (_G.mjGEOM_HFIELD, _G.mjGEOM_CAPSULE): 4,
+}
+
+
+def _candidate_pairs(m: mujoco.MjModel) -> list[GeomPair]:
+  """Enumerate collision pairs with MuJoCo's body-level filtering.
+
+  Mirrors mj_collision filtering semantics: same-body/weld exclusion,
+  parent-child filter (unless parent is world), contype/conaffinity
+  compatibility, and <exclude> signatures. Static — the runtime narrowphase
+  runs every pair every step and masks by distance (MJX-style).
+  """
+  excluded = set()
+  for i in range(m.nexclude):
+    sig = int(m.exclude_signature[i])
+    excluded.add((sig >> 16, sig & 0xFFFF))
+
+  pairs: list[GeomPair] = []
+  filterparent = not (m.opt.disableflags & mujoco.mjtDisableBit.mjDSBL_FILTERPARENT)
+  for g1 in range(m.ngeom):
+    for g2 in range(g1 + 1, m.ngeom):
+      b1, b2 = int(m.geom_bodyid[g1]), int(m.geom_bodyid[g2])
+      w1, w2 = int(m.body_weldid[b1]), int(m.body_weldid[b2])
+      if w1 == w2:
+        continue
+      # Parent filter (on welded tree).
+      pw1 = int(m.body_weldid[m.body_parentid[w1]])
+      pw2 = int(m.body_weldid[m.body_parentid[w2]])
+      if filterparent and w1 != 0 and w2 != 0 and (w1 == pw2 or w2 == pw1):
+        continue
+      if (b1, b2) in excluded or (b2, b1) in excluded:
+        continue
+      t1, t2 = int(m.geom_contype[g1]), int(m.geom_contype[g2])
+      a1, a2 = int(m.geom_conaffinity[g1]), int(m.geom_conaffinity[g2])
+      if not ((t1 & a2) or (t2 & a1)):
+        continue
+      ga, gb = g1, g2
+      if m.geom_type[ga] > m.geom_type[gb]:
+        ga, gb = gb, ga
+      key = (int(m.geom_type[ga]), int(m.geom_type[gb]))
+      if key not in _PAIR_NCON:
+        names = [
+          mujoco.mj_id2name(m, mujoco.mjtObj.mjOBJ_GEOM, g) or str(g)
+          for g in (ga, gb)
+        ]
+        raise NotImplementedError(
+          f"Unsupported collision pair {key} between geoms {names}."
+        )
+      # Combined condim: higher-priority geom wins, else max.
+      p1, p2 = int(m.geom_priority[ga]), int(m.geom_priority[gb])
+      if p1 != p2:
+        condim = int(m.geom_condim[ga if p1 > p2 else gb])
+      else:
+        condim = max(int(m.geom_condim[ga]), int(m.geom_condim[gb]))
+      pairs.append(
+        GeomPair(
+          geom1=ga,
+          geom2=gb,
+          type1=key[0],
+          type2=key[1],
+          ncon=_PAIR_NCON[key],
+          condim=condim,
+        )
+      )
+  return pairs
+
+
+def _dof_ancestor_mask(m: mujoco.MjModel) -> np.ndarray:
+  """mask[i, j] = 1 iff dof j is an ancestor of dof i (or j == i)."""
+  nv = m.nv
+  mask = np.zeros((nv, nv), dtype=bool)
+  for i in range(nv):
+    j = i
+    while j >= 0:
+      mask[i, j] = True
+      j = int(m.dof_parentid[j])
+  return mask
+
+
+def _body_masks(m: mujoco.MjModel) -> tuple[np.ndarray, np.ndarray]:
+  nbody, nv = m.nbody, m.nv
+  # subtree_mask[i, j]: body j is in the subtree rooted at body i.
+  ancestor = np.zeros((nbody, nbody), dtype=bool)  # ancestor[j, i]: i ancestor of j
+  for j in range(nbody):
+    i = j
+    while True:
+      ancestor[j, i] = True
+      if i == 0:
+        break
+      i = int(m.body_parentid[i])
+  subtree = ancestor.T
+  # body_dof_mask[i, j]: dof j belongs to an ancestor-or-self body of body i.
+  body_dof = np.zeros((nbody, nv), dtype=bool)
+  for j in range(nv):
+    body_dof[:, j] = ancestor[:, m.dof_bodyid[j]]
+  return subtree, body_dof
+
+
+def contact_rows(condim: int, cone: int) -> int:
+  """Constraint rows per contact slot."""
+  if cone == ConeType.PYRAMIDAL:
+    return 1 if condim == 1 else 2 * (condim - 1)
+  return condim
+
+
+def put_model(
+  m: mujoco.MjModel,
+  dtype=jnp.float32,
+  allocate_friction_rows: bool = False,
+) -> tuple[Topology, Model]:
+  """Convert a compiled MjModel into (Topology, Model).
+
+  Args:
+    m: compiled model (solver options read from m.opt).
+    dtype: float dtype of the parameter/state arrays.
+    allocate_friction_rows: allocate dof-friction constraint rows for every
+      dof even if dof_frictionloss is zero in the base model (needed when
+      domain randomization may enable frictionloss per env).
+  """
+  if m.opt.integrator in (
+    mujoco.mjtIntegrator.mjINT_IMPLICIT,
+    mujoco.mjtIntegrator.mjINT_IMPLICITFAST,
+  ):
+    integrator = Integrator.IMPLICITFAST
+  elif m.opt.integrator == mujoco.mjtIntegrator.mjINT_EULER:
+    integrator = Integrator.EULER
+  else:
+    raise NotImplementedError(f"Integrator {m.opt.integrator} not supported.")
+  cone = int(m.opt.cone)
+
+  pairs = tuple(_candidate_pairs(m))
+  ncon_max = sum(p.ncon for p in pairs)
+
+  if allocate_friction_rows:
+    friction_dofs = np.arange(m.nv)
+  else:
+    friction_dofs = np.nonzero(m.dof_frictionloss > 0)[0]
+  limited_joints = np.nonzero(
+    (m.jnt_limited == 1)
+    & np.isin(m.jnt_type, [mujoco.mjtJoint.mjJNT_HINGE, mujoco.mjtJoint.mjJNT_SLIDE])
+  )[0]
+
+  nefc = (
+    len(friction_dofs)
+    + len(limited_joints)
+    + sum(p.ncon * contact_rows(p.condim, cone) for p in pairs)
+  )
+
+  tp = Topology(
+    nq=m.nq,
+    nv=m.nv,
+    nu=m.nu,
+    nbody=m.nbody,
+    njnt=m.njnt,
+    ngeom=m.ngeom,
+    nsite=m.nsite,
+    nsensor=m.nsensor,
+    nsensordata=m.nsensordata,
+    nmocap=m.nmocap,
+    body_parentid=m.body_parentid.copy(),
+    body_rootid=m.body_rootid.copy(),
+    body_weldid=m.body_weldid.copy(),
+    body_jntadr=m.body_jntadr.copy(),
+    body_jntnum=m.body_jntnum.copy(),
+    body_dofadr=m.body_dofadr.copy(),
+    body_dofnum=m.body_dofnum.copy(),
+    body_geomadr=m.body_geomadr.copy(),
+    body_geomnum=m.body_geomnum.copy(),
+    body_mocapid=m.body_mocapid.copy(),
+    jnt_type=m.jnt_type.copy(),
+    jnt_qposadr=m.jnt_qposadr.copy(),
+    jnt_dofadr=m.jnt_dofadr.copy(),
+    jnt_bodyid=m.jnt_bodyid.copy(),
+    jnt_limited=m.jnt_limited.copy(),
+    jnt_actfrclimited=m.jnt_actfrclimited.copy(),
+    dof_bodyid=m.dof_bodyid.copy(),
+    dof_jntid=m.dof_jntid.copy(),
+    dof_parentid=m.dof_parentid.copy(),
+    geom_type=m.geom_type.copy(),
+    geom_bodyid=m.geom_bodyid.copy(),
+    geom_condim=m.geom_condim.copy(),
+    geom_priority=m.geom_priority.copy(),
+    geom_dataid=m.geom_dataid.copy(),
+    site_bodyid=m.site_bodyid.copy(),
+    actuator_trntype=m.actuator_trntype.copy(),
+    actuator_trnid=m.actuator_trnid.copy(),
+    actuator_gaintype=m.actuator_gaintype.copy(),
+    actuator_biastype=m.actuator_biastype.copy(),
+    actuator_ctrllimited=m.actuator_ctrllimited.copy(),
+    actuator_forcelimited=m.actuator_forcelimited.copy(),
+    sensor_type=m.sensor_type.copy(),
+    sensor_datatype=m.sensor_datatype.copy(),
+    sensor_objtype=m.sensor_objtype.copy(),
+    sensor_objid=m.sensor_objid.copy(),
+    sensor_reftype=m.sensor_reftype.copy(),
+    sensor_refid=m.sensor_refid.copy(),
+    sensor_adr=m.sensor_adr.copy(),
+    sensor_dim=m.sensor_dim.copy(),
+    dof_ancestor_mask=_dof_ancestor_mask(m),
+    body_subtree_mask=_body_masks(m)[0],
+    body_dof_mask=_body_masks(m)[1],
+    limited_joint_ids=limited_joints,
+    friction_dof_ids=friction_dofs,
+    pairs=pairs,
+    ncon_max=ncon_max,
+    nefc=nefc,
+    nhfield=m.nhfield,
+    hfield_nrow=m.hfield_nrow.copy(),
+    hfield_ncol=m.hfield_ncol.copy(),
+    hfield_adr=m.hfield_adr.copy(),
+  )
+
+  def arr(x):
+    return jnp.asarray(np.asarray(x), dtype=dtype)
+
+  opt = Option(
+    timestep=arr(m.opt.timestep),
+    gravity=arr(m.opt.gravity),
+    impratio=arr(m.opt.impratio),
+    tolerance=arr(m.opt.tolerance),
+    ls_tolerance=arr(m.opt.ls_tolerance),
+    integrator=integrator,
+    cone=cone,
+    iterations=int(m.opt.iterations),
+    ls_iterations=int(m.opt.ls_iterations),
+  )
+
+  model = Model(
+    opt=opt,
+    qpos0=arr(m.qpos0),
+    qpos_spring=arr(m.qpos_spring),
+    body_pos=arr(m.body_pos),
+    body_quat=arr(m.body_quat),
+    body_ipos=arr(m.body_ipos),
+    body_iquat=arr(m.body_iquat),
+    body_mass=arr(m.body_mass),
+    body_inertia=arr(m.body_inertia),
+    body_invweight0=arr(m.body_invweight0),
+    body_subtreemass=arr(m.body_subtreemass),
+    jnt_axis=arr(m.jnt_axis),
+    jnt_pos=arr(m.jnt_pos),
+    jnt_range=arr(m.jnt_range),
+    jnt_stiffness=arr(m.jnt_stiffness),
+    jnt_margin=arr(m.jnt_margin),
+    jnt_solref=arr(m.jnt_solref),
+    jnt_solimp=arr(m.jnt_solimp),
+    dof_armature=arr(m.dof_armature),
+    dof_damping=arr(m.dof_damping),
+    dof_frictionloss=arr(m.dof_frictionloss),
+    dof_invweight0=arr(m.dof_invweight0),
+    dof_solref=arr(m.dof_solref),
+    dof_solimp=arr(m.dof_solimp),
+    geom_pos=arr(m.geom_pos),
+    geom_quat=arr(m.geom_quat),
+    geom_size=arr(m.geom_size),
+    geom_friction=arr(m.geom_friction),
+    geom_solref=arr(m.geom_solref),
+    geom_solimp=arr(m.geom_solimp),
+    geom_solmix=arr(m.geom_solmix),
+    geom_margin=arr(m.geom_margin),
+    geom_gap=arr(m.geom_gap),
+    site_pos=arr(m.site_pos),
+    site_quat=arr(m.site_quat),
+    actuator_gainprm=arr(m.actuator_gainprm),
+    actuator_biasprm=arr(m.actuator_biasprm),
+    actuator_gear=arr(m.actuator_gear),
+    actuator_ctrlrange=arr(m.actuator_ctrlrange),
+    actuator_forcerange=arr(m.actuator_forcerange),
+    hfield_data=arr(m.hfield_data if m.nhfield else np.zeros(0)),
+    hfield_size=arr(m.hfield_size if m.nhfield else np.zeros((0, 4))),
+  )
+  return tp, model
+
+
+def make_data(tp: Topology, model: Model, dtype=None) -> Data:
+  """Fresh single-world Data at qpos0. Call forward() to populate derived state."""
+  if dtype is None:
+    dtype = model.qpos0.dtype
+
+  def z(*shape):
+    return jnp.zeros(shape, dtype=dtype)
+
+  contact = Contact(
+    dist=jnp.full((tp.ncon_max,), 1e10, dtype=dtype),
+    pos=z(tp.ncon_max, 3),
+    frame=jnp.tile(jnp.eye(3, dtype=dtype), (tp.ncon_max, 1, 1)),
+    includemargin=z(tp.ncon_max),
+    friction=jnp.tile(
+      jnp.asarray([1.0, 1.0, 0.005, 0.0001, 0.0001], dtype=dtype), (tp.ncon_max, 1)
+    ),
+    solref=jnp.tile(jnp.asarray([0.02, 1.0], dtype=dtype), (tp.ncon_max, 1)),
+    solimp=jnp.tile(
+      jnp.asarray([0.9, 0.95, 0.001, 0.5, 2.0], dtype=dtype), (tp.ncon_max, 1)
+    ),
+  )
+
+  eye3 = jnp.eye(3, dtype=dtype)
+  return Data(
+    time=z(),
+    qpos=model.qpos0.astype(dtype),
+    qvel=z(tp.nv),
+    ctrl=z(tp.nu),
+    qfrc_applied=z(tp.nv),
+    xfrc_applied=z(tp.nbody, 6),
+    mocap_pos=z(tp.nmocap, 3),
+    mocap_quat=jnp.tile(
+      jnp.asarray([1.0, 0, 0, 0], dtype=dtype), (tp.nmocap, 1)
+    ),
+    qacc_warmstart=z(tp.nv),
+    xanchor=z(tp.njnt, 3),
+    xaxis=z(tp.njnt, 3),
+    xpos=z(tp.nbody, 3),
+    xquat=jnp.tile(jnp.asarray([1.0, 0, 0, 0], dtype=dtype), (tp.nbody, 1)),
+    xmat=jnp.tile(eye3, (tp.nbody, 1, 1)),
+    xipos=z(tp.nbody, 3),
+    ximat=jnp.tile(eye3, (tp.nbody, 1, 1)),
+    geom_xpos=z(tp.ngeom, 3),
+    geom_xmat=jnp.tile(eye3, (tp.ngeom, 1, 1)),
+    site_xpos=z(tp.nsite, 3),
+    site_xmat=jnp.tile(eye3, (tp.nsite, 1, 1)),
+    subtree_com=z(tp.nbody, 3),
+    cinert=z(tp.nbody, 10),
+    cdof=z(tp.nv, 6),
+    cvel=z(tp.nbody, 6),
+    cdof_dot=z(tp.nv, 6),
+    qM=z(tp.nv, tp.nv),
+    qLD=z(tp.nv, tp.nv),
+    qfrc_bias=z(tp.nv),
+    qfrc_passive=z(tp.nv),
+    qfrc_spring=z(tp.nv),
+    qfrc_damper=z(tp.nv),
+    actuator_length=z(tp.nu),
+    actuator_velocity=z(tp.nu),
+    actuator_force=z(tp.nu),
+    qfrc_actuator=z(tp.nv),
+    qfrc_smooth=z(tp.nv),
+    qacc_smooth=z(tp.nv),
+    contact=contact,
+    efc_J=z(tp.nefc, tp.nv),
+    efc_D=z(tp.nefc),
+    efc_aref=z(tp.nefc),
+    efc_pos=z(tp.nefc),
+    efc_margin=z(tp.nefc),
+    efc_frictionloss=z(tp.nefc),
+    efc_force=z(tp.nefc),
+    qfrc_constraint=z(tp.nv),
+    qacc=z(tp.nv),
+    sensordata=z(tp.nsensordata),
+    subtree_linvel=z(tp.nbody, 3),
+    subtree_angmom=z(tp.nbody, 3),
+  )
+
+
+def model_fields() -> list[str]:
+  """Names of DR-able Model leaves."""
+  return [f.name for f in dataclasses.fields(Model) if f.name != "opt"]

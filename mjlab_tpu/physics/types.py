@@ -1,0 +1,346 @@
+"""Core datatypes of the physics engine.
+
+Design (see ARCHITECTURE.md): the compiled `mujoco.MjModel` is split into
+  * `Topology` — static structure (numpy int arrays, Python ints). Never traced;
+    physics functions close over it and its values are baked into the XLA
+    program as constants (the analog of mjwarp's kernel specialization).
+  * `Option`  — solver/integrator options; floats are jnp scalars (DR-able),
+    counts (iterations) are static Python ints.
+  * `Model`   — float parameter pytree (jnp). Any leaf may gain a leading env
+    axis for domain randomization; `Model.axes()` builds the matching vmap
+    in_axes tree (replaces reference sim/randomization.py expand_model_fields).
+  * `Data`    — single-world state pytree; the env vmaps over a batched Data.
+
+Field names mirror MjModel/MjData so users of the reference find their way.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import numpy as np
+from flax import struct
+
+
+# ---------------------------------------------------------------------------
+# Static topology (host-side, baked into traces).
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class GeomPair:
+  """One candidate collision pair with static contact-slot allocation."""
+
+  geom1: int
+  geom2: int
+  type1: int  # mujoco.mjtGeom
+  type2: int
+  ncon: int  # number of contact slots this pair occupies
+  condim: int
+  # Combined (host-resolved) contact parameters; per-slot constants unless the
+  # pair params are randomized (then they live in Model.pair_* overrides).
+
+
+@dataclasses.dataclass(frozen=True)
+class Topology:
+  # Sizes.
+  nq: int
+  nv: int
+  nu: int
+  nbody: int
+  njnt: int
+  ngeom: int
+  nsite: int
+  nsensor: int
+  nsensordata: int
+  nmocap: int
+
+  # Body tree (all numpy int arrays).
+  body_parentid: np.ndarray
+  body_rootid: np.ndarray
+  body_weldid: np.ndarray
+  body_jntadr: np.ndarray
+  body_jntnum: np.ndarray
+  body_dofadr: np.ndarray
+  body_dofnum: np.ndarray
+  body_geomadr: np.ndarray
+  body_geomnum: np.ndarray
+  body_mocapid: np.ndarray
+
+  # Joints.
+  jnt_type: np.ndarray
+  jnt_qposadr: np.ndarray
+  jnt_dofadr: np.ndarray
+  jnt_bodyid: np.ndarray
+  jnt_limited: np.ndarray
+  jnt_actfrclimited: np.ndarray
+
+  # Dofs.
+  dof_bodyid: np.ndarray
+  dof_jntid: np.ndarray
+  dof_parentid: np.ndarray
+
+  # Geoms.
+  geom_type: np.ndarray
+  geom_bodyid: np.ndarray
+  geom_condim: np.ndarray
+  geom_priority: np.ndarray
+  geom_dataid: np.ndarray
+
+  # Sites.
+  site_bodyid: np.ndarray
+
+  # Actuators (joint/tendon transmissions).
+  actuator_trntype: np.ndarray
+  actuator_trnid: np.ndarray
+  actuator_gaintype: np.ndarray
+  actuator_biastype: np.ndarray
+  actuator_ctrllimited: np.ndarray
+  actuator_forcelimited: np.ndarray
+
+  # Sensors.
+  sensor_type: np.ndarray
+  sensor_datatype: np.ndarray
+  sensor_objtype: np.ndarray
+  sensor_objid: np.ndarray
+  sensor_reftype: np.ndarray
+  sensor_refid: np.ndarray
+  sensor_adr: np.ndarray
+  sensor_dim: np.ndarray
+
+  # Precomputed masks / helpers.
+  dof_ancestor_mask: np.ndarray  # (nv, nv) M[i,j]=1 iff dof j is ancestor-or-self of dof i
+  body_subtree_mask: np.ndarray  # (nbody, nbody) M[i,j]=1 iff body j in subtree(i)
+  body_dof_mask: np.ndarray  # (nbody, nv) M[i,j]=1 iff dof j actuates an ancestor-or-self of body i
+  limited_joint_ids: np.ndarray  # joints with limits (hinge/slide only)
+  friction_dof_ids: np.ndarray  # dofs with frictionloss > 0 (row allocation)
+
+  # Collision pair table (static slot allocation).
+  pairs: tuple[GeomPair, ...]
+  ncon_max: int  # total contact slots
+  nefc: int  # total constraint rows (limits + friction + contacts)
+
+  # Heightfield prototypes (static raster data lives in Model.hfield_data).
+  nhfield: int
+  hfield_nrow: np.ndarray
+  hfield_ncol: np.ndarray
+  hfield_adr: np.ndarray
+
+  def __hash__(self) -> int:  # identity hash: each compiled model is unique
+    return id(self)
+
+  def __eq__(self, other: Any) -> bool:
+    return self is other
+
+
+# ---------------------------------------------------------------------------
+# Options.
+# ---------------------------------------------------------------------------
+
+
+class Integrator:
+  EULER = 0
+  IMPLICITFAST = 1
+
+
+class ConeType:
+  PYRAMIDAL = 0
+  ELLIPTIC = 1
+
+
+@struct.dataclass
+class Option:
+  """Solver options. Static fields control trace structure."""
+
+  timestep: jax.Array
+  gravity: jax.Array  # (3,)
+  impratio: jax.Array
+  tolerance: jax.Array
+  ls_tolerance: jax.Array
+  # Static (affect compiled program structure):
+  integrator: int = struct.field(pytree_node=False, default=Integrator.EULER)
+  cone: int = struct.field(pytree_node=False, default=ConeType.PYRAMIDAL)
+  iterations: int = struct.field(pytree_node=False, default=10)
+  ls_iterations: int = struct.field(pytree_node=False, default=20)
+  ls_parallel: bool = struct.field(pytree_node=False, default=False)
+
+
+# ---------------------------------------------------------------------------
+# Model parameters (jnp pytree; leaves may be per-env batched for DR).
+# ---------------------------------------------------------------------------
+
+
+@struct.dataclass
+class Model:
+  opt: Option
+
+  qpos0: jax.Array
+  qpos_spring: jax.Array
+
+  body_pos: jax.Array
+  body_quat: jax.Array
+  body_ipos: jax.Array
+  body_iquat: jax.Array
+  body_mass: jax.Array
+  body_inertia: jax.Array
+  body_invweight0: jax.Array
+  body_subtreemass: jax.Array
+
+  jnt_axis: jax.Array
+  jnt_pos: jax.Array
+  jnt_range: jax.Array
+  jnt_stiffness: jax.Array
+  jnt_margin: jax.Array
+  jnt_solref: jax.Array
+  jnt_solimp: jax.Array
+
+  dof_armature: jax.Array
+  dof_damping: jax.Array
+  dof_frictionloss: jax.Array
+  dof_invweight0: jax.Array
+  dof_solref: jax.Array
+  dof_solimp: jax.Array
+
+  geom_pos: jax.Array
+  geom_quat: jax.Array
+  geom_size: jax.Array
+  geom_friction: jax.Array
+  geom_solref: jax.Array
+  geom_solimp: jax.Array
+  geom_solmix: jax.Array
+  geom_margin: jax.Array
+  geom_gap: jax.Array
+
+  site_pos: jax.Array
+  site_quat: jax.Array
+
+  actuator_gainprm: jax.Array
+  actuator_biasprm: jax.Array
+  actuator_gear: jax.Array
+  actuator_ctrlrange: jax.Array
+  actuator_forcerange: jax.Array
+
+  hfield_data: jax.Array  # concatenated raster data, () if no hfields
+  hfield_size: jax.Array  # (nhfield, 4)
+
+  def axes(self, batched: set[str] | tuple[str, ...] = ()) -> "Model":
+    """vmap in_axes tree: 0 for DR-batched leaves, None elsewhere."""
+    batched = set(batched)
+    flat = {}
+    for f in dataclasses.fields(self):
+      if f.name == "opt":
+        opt_axes = Option(
+          timestep=0 if "opt.timestep" in batched else None,
+          gravity=0 if "opt.gravity" in batched else None,
+          impratio=None,
+          tolerance=None,
+          ls_tolerance=None,
+          integrator=self.opt.integrator,
+          cone=self.opt.cone,
+          iterations=self.opt.iterations,
+          ls_iterations=self.opt.ls_iterations,
+          ls_parallel=self.opt.ls_parallel,
+        )
+        flat[f.name] = opt_axes
+      else:
+        flat[f.name] = 0 if f.name in batched else None
+    return Model(**flat)  # type: ignore[arg-type]
+
+
+# ---------------------------------------------------------------------------
+# Contacts.
+# ---------------------------------------------------------------------------
+
+
+@struct.dataclass
+class Contact:
+  """Fixed-capacity contact slots (ncon_max rows). Slot→geom mapping is static
+  (Topology.pairs); a slot is *active* when dist < includemargin."""
+
+  dist: jax.Array  # (C,)
+  pos: jax.Array  # (C, 3)
+  frame: jax.Array  # (C, 3, 3) rows: normal (g1→g2), tangent1, tangent2
+  includemargin: jax.Array  # (C,)
+  friction: jax.Array  # (C, 5)
+  solref: jax.Array  # (C, 2)
+  solimp: jax.Array  # (C, 5)
+
+
+# ---------------------------------------------------------------------------
+# Data (single-world state).
+# ---------------------------------------------------------------------------
+
+
+@struct.dataclass
+class Data:
+  # Inputs / generalized state.
+  time: jax.Array
+  qpos: jax.Array  # (nq,)
+  qvel: jax.Array  # (nv,)
+  ctrl: jax.Array  # (nu,)
+  qfrc_applied: jax.Array  # (nv,)
+  xfrc_applied: jax.Array  # (nbody, 6) [force, torque] in world frame
+  mocap_pos: jax.Array  # (nmocap, 3)
+  mocap_quat: jax.Array  # (nmocap, 4)
+
+  # Warmstart.
+  qacc_warmstart: jax.Array  # (nv,)
+
+  # Kinematics.
+  xanchor: jax.Array  # (njnt, 3)
+  xaxis: jax.Array  # (njnt, 3)
+  xpos: jax.Array  # (nbody, 3)
+  xquat: jax.Array  # (nbody, 4)
+  xmat: jax.Array  # (nbody, 3, 3)
+  xipos: jax.Array  # (nbody, 3)
+  ximat: jax.Array  # (nbody, 3, 3)
+  geom_xpos: jax.Array  # (ngeom, 3)
+  geom_xmat: jax.Array  # (ngeom, 3, 3)
+  site_xpos: jax.Array  # (nsite, 3)
+  site_xmat: jax.Array  # (nsite, 3, 3)
+
+  # CoM-based quantities.
+  subtree_com: jax.Array  # (nbody, 3)
+  cinert: jax.Array  # (nbody, 10)
+  cdof: jax.Array  # (nv, 6)
+  cvel: jax.Array  # (nbody, 6)
+  cdof_dot: jax.Array  # (nv, 6)
+
+  # Mass matrix.
+  qM: jax.Array  # (nv, nv) dense
+  qLD: jax.Array  # (nv, nv) Cholesky factor (lower)
+
+  # Forces.
+  qfrc_bias: jax.Array  # (nv,)
+  qfrc_passive: jax.Array  # (nv,)
+  qfrc_spring: jax.Array  # (nv,)
+  qfrc_damper: jax.Array  # (nv,)
+  actuator_length: jax.Array  # (nu,)
+  actuator_velocity: jax.Array  # (nu,)
+  actuator_force: jax.Array  # (nu,)
+  qfrc_actuator: jax.Array  # (nv,)
+  qfrc_smooth: jax.Array  # (nv,)
+  qacc_smooth: jax.Array  # (nv,)
+
+  # Constraints.
+  contact: Contact
+  efc_J: jax.Array  # (nefc, nv)
+  efc_D: jax.Array  # (nefc,)
+  efc_aref: jax.Array  # (nefc,)
+  efc_pos: jax.Array  # (nefc,)
+  efc_margin: jax.Array  # (nefc,)
+  efc_frictionloss: jax.Array  # (nefc,)
+  efc_force: jax.Array  # (nefc,)
+  qfrc_constraint: jax.Array  # (nv,)
+
+  # Output.
+  qacc: jax.Array  # (nv,)
+
+  # Sensors.
+  sensordata: jax.Array  # (nsensordata,)
+
+  # Subtree dynamics (for subtree momentum sensors).
+  subtree_linvel: jax.Array  # (nbody, 3)
+  subtree_angmom: jax.Array  # (nbody, 3)

@@ -4,11 +4,16 @@ Tests run on CPU with 8 virtual XLA devices so multi-chip sharding paths can be
 exercised without TPU hardware (mirrors the reference's FORCE_CPU=1 CPU-backend
 strategy, reference tests/conftest.py:16-24). Physics parity tests enable f64 to
 compare against the MuJoCo C reference at tight tolerance.
+
+Note: the ambient environment may point JAX at a TPU tunnel
+(JAX_PLATFORMS=axon) and pytest plugins (jaxtyping) import jax before this
+file runs, so we must use jax.config.update — it works any time before the
+backend is first used.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
   os.environ["XLA_FLAGS"] = (
@@ -17,4 +22,5 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
