@@ -79,17 +79,21 @@ def make_constraint(tp: Topology, m: Model, d: Data) -> Data:
 
   J_rows, D_rows, aref_rows, pos_rows, margin_rows, fl_rows = [], [], [], [], [], []
 
-  def add_row(J, pos, margin, solref, solimp, diag_approx, frictionloss=0.0):
+  def add_row(J, pos, margin, solref, solimp, diag_approx, frictionloss=0.0,
+              include=True):
+    """include: row participates only when True (MuJoCo drops rows with
+    dist >= margin from efc entirely; we zero D instead — static shapes)."""
     k, b, imp = _kbi(solref, solimp, pos - margin)
     vel = J @ d.qvel
     aref = -b * vel - k * imp * (pos - margin)
     r = jnp.maximum((1 - imp) / imp * diag_approx, _MINVAL)
+    D = jnp.where(include, 1.0 / r, 0.0)
     J_rows.append(J)
-    D_rows.append(1.0 / r)
+    D_rows.append(D)
     aref_rows.append(aref)
     pos_rows.append(pos)
     margin_rows.append(margin)
-    fl_rows.append(jnp.asarray(frictionloss, dtype=dtype))
+    fl_rows.append(jnp.asarray(frictionloss, dtype=dtype) * (include * 1.0))
 
   # 1) Dof friction rows (Huber cost in the solver).
   for dof in tp.friction_dof_ids:
@@ -123,6 +127,7 @@ def make_constraint(tp: Topology, m: Model, d: Data) -> Data:
       solref=m.jnt_solref[j],
       solimp=m.jnt_solimp[j],
       diag_approx=m.dof_invweight0[dadr],
+      include=dist < m.jnt_margin[j],
     )
 
   # 3) Contact rows.
@@ -143,16 +148,18 @@ def make_constraint(tp: Topology, m: Model, d: Data) -> Data:
       margin = d.contact.includemargin[i]
       solref = d.contact.solref[i]
       solimp = d.contact.solimp[i]
+      include = pos < margin
       if m.opt.cone == ConeType.PYRAMIDAL:
         if p.condim == 1:
-          add_row(jrows[0], pos, margin, solref, solimp, invweight)
+          add_row(jrows[0], pos, margin, solref, solimp, invweight,
+                  include=include)
         else:
           for fdim in range(1, p.condim):
             mu = d.contact.friction[i, fdim - 1]
-            diag = 2.0 * mu * mu * invweight
+            diag = 2.0 * mu * mu * (1.0 + mu * mu) * invweight
             for sgn in (1.0, -1.0):
               J = jrows[0] + sgn * mu * jrows[fdim]
-              add_row(J, pos, margin, solref, solimp, invweight + diag)
+              add_row(J, pos, margin, solref, solimp, diag, include=include)
       else:
         raise NotImplementedError("elliptic cone (planned)")
     slot += p.ncon

@@ -1,0 +1,109 @@
+"""Contact/constraint parity vs CPU MuJoCo: trajectory match on primitive
+scenes (sphere/capsule/box on plane, stacking, joint limits)."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import mujoco
+import numpy as np
+import pytest
+
+from mjlab_tpu import physics
+
+SCENES = {
+  "sphere": (
+    """
+<mujoco><option timestep="0.002"/>
+  <worldbody>
+    <geom name="floor" type="plane" size="10 10 0.1" friction="0.8"/>
+    <body pos="0.01 0.02 0.093"><freejoint/>
+      <geom type="sphere" size="0.1" friction="0.8 0.01 0.002"/></body>
+  </worldbody></mujoco>""",
+    [0.1, -0.2, -0.5, 0.3, 0.1, -0.2],
+    50,
+    1e-9,
+  ),
+  "capsule": (
+    """
+<mujoco><option timestep="0.002"/>
+  <worldbody>
+    <geom name="floor" type="plane" size="10 10 0.1"/>
+    <body pos="0 0 0.08" euler="0 3 0"><freejoint/>
+      <geom type="capsule" fromto="-0.15 0 0 0.15 0 0" size="0.05" friction="0.9 0.01 0.001"/></body>
+  </worldbody></mujoco>""",
+    [0.2, 0.1, -0.3, 0.5, -0.2, 0.1],
+    100,
+    1e-4,
+  ),
+  "box": (
+    """
+<mujoco><option timestep="0.002"/>
+  <worldbody>
+    <geom name="floor" type="plane" size="10 10 0.1"/>
+    <body pos="0 0 0.1" euler="2 1 0"><freejoint/>
+      <geom type="box" size="0.1 0.08 0.06"/></body>
+  </worldbody></mujoco>""",
+    [0.1, 0, -0.4, 0.2, 0.3, -0.1],
+    100,
+    1e-9,
+  ),
+  "stack": (
+    """
+<mujoco><option timestep="0.002"/>
+  <worldbody>
+    <geom name="floor" type="plane" size="10 10 0.1"/>
+    <body pos="0 0 0.1"><freejoint/><geom type="sphere" size="0.1"/></body>
+    <body pos="0.05 0 0.32"><freejoint/><geom type="capsule" fromto="-0.1 0 0 0.1 0 0" size="0.05"/></body>
+  </worldbody></mujoco>""",
+    [0, 0, 0, 0, 0, 0, 0, 0, -0.5, 0, 0, 0],
+    150,
+    1e-8,
+  ),
+  "jnt_limit": (
+    """
+<mujoco><option timestep="0.002"/>
+  <worldbody>
+    <body pos="0 0 1">
+      <joint type="hinge" axis="0 1 0" range="-0.5 0.5" damping="0.05"/>
+      <geom type="capsule" fromto="0 0 0 0.4 0 0" size="0.04" contype="0" conaffinity="0"/>
+    </body>
+  </worldbody></mujoco>""",
+    [2.0],
+    200,
+    1e-8,
+  ),
+  "frictionloss": (
+    """
+<mujoco><option timestep="0.002"/>
+  <worldbody>
+    <body pos="0 0 1">
+      <joint type="hinge" axis="0 1 0" frictionloss="0.4" damping="0.01"/>
+      <geom type="capsule" fromto="0 0 0 0.4 0 0" size="0.04" contype="0" conaffinity="0"/>
+    </body>
+  </worldbody></mujoco>""",
+    [1.5],
+    200,
+    1e-6,
+  ),
+}
+
+
+@pytest.mark.parametrize("name", list(SCENES))
+def test_contact_trajectory_parity(name):
+  xml, qvel, nsteps, tol = SCENES[name]
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  mjd = mujoco.MjData(mjm)
+  mjd.qvel[: len(qvel)] = qvel
+
+  tp, model = physics.put_model(mjm, dtype=jnp.float64)
+  step = jax.jit(functools.partial(physics.step, tp))
+  d = physics.make_data(tp, model)
+  d = d.replace(qpos=jnp.asarray(mjd.qpos.copy()), qvel=jnp.asarray(mjd.qvel.copy()))
+
+  for _ in range(nsteps):
+    mujoco.mj_step(mjm, mjd)
+    d = step(model, d)
+
+  np.testing.assert_allclose(np.asarray(d.qpos), mjd.qpos, atol=tol)
+  np.testing.assert_allclose(np.asarray(d.qvel), mjd.qvel, atol=tol * 10)
