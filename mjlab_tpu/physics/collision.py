@@ -1,30 +1,33 @@
 """Collision: static pair table → fixed contact slots (MJX-style).
 
 The pair list is enumerated on host (io._candidate_pairs) with MuJoCo's
-filtering rules; at runtime every pair is narrowphase-tested every step and
-contacts are "active" when dist < includemargin. This gives fully static
-shapes — the TPU analog of mjwarp's nconmax contact pool (reference
-sim/sim.py:81-90). Contact parameters (friction/solref/solimp) are combined
-in-trace from Model leaves so geom-level domain randomization flows through.
+filtering rules and sorted by geometry-type combination; at runtime each
+type-group runs ONE vectorized (vmapped) narrowphase over all its pairs and
+contacts are "active" when dist < includemargin. Fully static shapes — the
+TPU analog of mjwarp's nconmax contact pool (reference sim/sim.py:81-90).
+Contact parameters (friction/solref/solimp) are combined in-trace from Model
+leaves so geom-level domain randomization flows through.
 
-Narrowphase functions are written single-world, branchless (jnp.where), and
-re-derived from standard closest-point geometry.
+Narrowphase functions are single-pair, branchless (jnp.where), re-derived
+from standard closest-point geometry, and vmapped over the pair axis.
 """
 
 from __future__ import annotations
 
+import itertools
+
 import jax
 import jax.numpy as jnp
 import mujoco
+import numpy as np
 
-from mjlab_tpu.physics.types import Contact, Data, GeomPair, Model, Topology
+from mjlab_tpu.physics.types import Contact, Data, Model, Topology
 
 _G = mujoco.mjtGeom
 
 
 def _normal_frame(n: jax.Array) -> jax.Array:
-  """Build a right-handed frame (3,3) with rows [n, t1, t2] from unit normal."""
-  # Pick the world axis least aligned with n for a stable tangent.
+  """Right-handed frame (3,3) with rows [n, t1, t2] from unit normal."""
   ref = jnp.where(
     jnp.abs(n[0]) < 0.5,
     jnp.asarray([1.0, 0.0, 0.0], dtype=n.dtype),
@@ -37,11 +40,9 @@ def _normal_frame(n: jax.Array) -> jax.Array:
 
 
 def _sphere_sphere(p1, r1, p2, r2):
-  """Returns (dist, pos, normal) for two spheres."""
   delta = p2 - p1
   l = jnp.linalg.norm(delta)
   n = delta / jnp.maximum(l, 1e-12)
-  # Degenerate concentric case: arbitrary normal.
   n = jnp.where(l < 1e-9, jnp.asarray([0.0, 0.0, 1.0], dtype=p1.dtype), n)
   dist = l - (r1 + r2)
   pos = p1 + n * (r1 + 0.5 * dist)
@@ -55,7 +56,6 @@ def _closest_segment_point(a, b, p):
 
 
 def _closest_segment_segment(a0, a1, b0, b1):
-  """Closest points between two segments (branchless clamped solve)."""
   da = a1 - a0
   db = b1 - b0
   r = a0 - b0
@@ -67,20 +67,17 @@ def _closest_segment_segment(a0, a1, b0, b1):
   denom = A * C - B * B
   s = jnp.where(denom > 1e-12, (B * E - C * D) / jnp.maximum(denom, 1e-12), 0.0)
   s = jnp.clip(s, 0.0, 1.0)
-  t = (B * s + E) / jnp.maximum(C, 1e-12)
-  t = jnp.clip(t, 0.0, 1.0)
+  t = jnp.clip((B * s + E) / jnp.maximum(C, 1e-12), 0.0, 1.0)
   s = jnp.clip((B * t - D) / jnp.maximum(A, 1e-12), 0.0, 1.0)
   return a0 + s * da, b0 + t * db
 
 
-def _sphere_box(p, r, box_pos, box_mat, box_size):
-  """Sphere vs box; handles center-inside-box penetration."""
+def _sphere_box_impl(p, r, box_pos, box_mat, box_size):
   local = box_mat.T @ (p - box_pos)
   clamped = jnp.clip(local, -box_size, box_size)
   delta = local - clamped
   outside_d = jnp.linalg.norm(delta)
   inside = outside_d < 1e-9
-  # Inside: push to the nearest face.
   face_d = box_size - jnp.abs(local)
   k = jnp.argmin(face_d)
   sign = jnp.sign(local)
@@ -92,154 +89,124 @@ def _sphere_box(p, r, box_pos, box_mat, box_size):
   dist = jnp.where(inside, -face_d[k], outside_d) - r
   n_world = box_mat @ n_local
   surface_world = box_pos + box_mat @ surface_local
-  # Normal points box → sphere; contact pos midway between surfaces.
   pos = surface_world + n_world * 0.5 * dist
   return dist, pos, n_world
 
 
 # ---------------------------------------------------------------------------
-# Pair narrowphase: each returns (dist (k,), pos (k,3), frame (k,3,3)) with the
-# normal pointing geom1 → geom2 (MuJoCo convention).
+# Single-pair narrowphase: (p1, m1, s1, p2, m2, s2) → (dist (k,), pos (k,3),
+# frame (k,3,3)); normal points geom1 → geom2 (MuJoCo convention).
 # ---------------------------------------------------------------------------
 
 
-def _plane_sphere(m, d, p: GeomPair):
-  n = d.geom_xmat[p.geom1][:, 2]
-  c = d.geom_xpos[p.geom2]
-  r = m.geom_size[p.geom2, 0]
-  dist = jnp.dot(n, c - d.geom_xpos[p.geom1]) - r
-  pos = c - n * (r + 0.5 * dist)
+def _plane_sphere(p1, m1, s1, p2, m2, s2):
+  n = m1[:, 2]
+  dist = jnp.dot(n, p2 - p1) - s2[0]
+  pos = p2 - n * (s2[0] + 0.5 * dist)
   return dist[None], pos[None], _normal_frame(n)[None]
 
 
-def _plane_capsule(m, d, p: GeomPair):
-  n = d.geom_xmat[p.geom1][:, 2]
-  c = d.geom_xpos[p.geom2]
-  axis = d.geom_xmat[p.geom2][:, 2]
-  r, hl = m.geom_size[p.geom2, 0], m.geom_size[p.geom2, 1]
+def _plane_capsule(p1, m1, s1, p2, m2, s2):
+  n = m1[:, 2]
+  axis = m2[:, 2]
+  r, hl = s2[0], s2[1]
   frame = _normal_frame(n)
-  dists, poss = [], []
-  for sgn in (1.0, -1.0):
-    e = c + axis * (sgn * hl)
-    dist = jnp.dot(n, e - d.geom_xpos[p.geom1]) - r
-    poss.append(e - n * (r + 0.5 * dist))
-    dists.append(dist)
-  return jnp.stack(dists), jnp.stack(poss), jnp.stack([frame, frame])
+  ends = jnp.stack([p2 + axis * hl, p2 - axis * hl])
+  dist = ends @ n - jnp.dot(n, p1) - r
+  pos = ends - n[None] * (r + 0.5 * dist)[:, None]
+  return dist, pos, jnp.stack([frame, frame])
 
 
-def _plane_box(m, d, p: GeomPair):
-  n = d.geom_xmat[p.geom1][:, 2]
-  pp = d.geom_xpos[p.geom1]
-  bp, bm = d.geom_xpos[p.geom2], d.geom_xmat[p.geom2]
-  size = m.geom_size[p.geom2]
-  corners = jnp.asarray(
-    [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)],
-    dtype=bp.dtype,
-  ) * size
-  world = bp + corners @ bm.T  # (8, 3)
-  dist8 = world @ n - jnp.dot(n, pp)
-  neg, idx = jax.lax.top_k(-dist8, 4)  # 4 deepest corners
+def _plane_box(p1, m1, s1, p2, m2, s2):
+  n = m1[:, 2]
+  corners = (
+    jnp.asarray(
+      [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)],
+      dtype=p1.dtype,
+    )
+    * s2
+  )
+  world = p2 + corners @ m2.T
+  dist8 = world @ n - jnp.dot(n, p1)
+  neg, idx = jax.lax.top_k(-dist8, 4)
   dist = -neg
   pos = world[idx] - n[None, :] * (0.5 * dist)[:, None]
-  frame = jnp.tile(_normal_frame(n)[None], (4, 1, 1))
-  return dist, pos, frame
+  return dist, pos, jnp.tile(_normal_frame(n)[None], (4, 1, 1))
 
 
-def _plane_cylinder(m, d, p: GeomPair):
-  """Approximate: 4 rim points of the two end caps nearest the plane."""
-  n = d.geom_xmat[p.geom1][:, 2]
-  pp = d.geom_xpos[p.geom1]
-  cp, cm = d.geom_xpos[p.geom2], d.geom_xmat[p.geom2]
-  r, hl = m.geom_size[p.geom2, 0], m.geom_size[p.geom2, 1]
-  axis = cm[:, 2]
-  # Radial direction of steepest descent along the plane normal.
+def _plane_cylinder(p1, m1, s1, p2, m2, s2):
+  """Approximate: 4 rim points of the end caps nearest the plane."""
+  n = m1[:, 2]
+  r, hl = s2[0], s2[1]
+  axis = m2[:, 2]
   proj = n - axis * jnp.dot(n, axis)
   pnorm = jnp.linalg.norm(proj)
-  radial = jnp.where(pnorm > 1e-8, -proj / jnp.maximum(pnorm, 1e-12), cm[:, 0])
-  pts = []
-  for sgn_ax in (1.0, -1.0):
-    for sgn_r in (1.0, -1.0):
-      pts.append(cp + axis * (sgn_ax * hl) + radial * (sgn_r * r))
-  pts = jnp.stack(pts)
-  dist = pts @ n - jnp.dot(n, pp)
+  radial = jnp.where(pnorm > 1e-8, -proj / jnp.maximum(pnorm, 1e-12), m2[:, 0])
+  offs = jnp.stack(
+    [
+      axis * hl + radial * r,
+      axis * hl - radial * r,
+      -axis * hl + radial * r,
+      -axis * hl - radial * r,
+    ]
+  )
+  pts = p2 + offs
+  dist = pts @ n - jnp.dot(n, p1)
   pos = pts - n[None] * (0.5 * dist)[:, None]
-  frame = jnp.tile(_normal_frame(n)[None], (4, 1, 1))
-  return dist, pos, frame
+  return dist, pos, jnp.tile(_normal_frame(n)[None], (4, 1, 1))
 
 
-def _plane_ellipsoid(m, d, p: GeomPair):
-  n = d.geom_xmat[p.geom1][:, 2]
-  ep, em = d.geom_xpos[p.geom2], d.geom_xmat[p.geom2]
-  size = m.geom_size[p.geom2]
-  # Support point of ellipsoid in -n direction.
-  n_local = em.T @ (-n)
-  v = size * size * n_local
+def _plane_ellipsoid(p1, m1, s1, p2, m2, s2):
+  n = m1[:, 2]
+  n_local = m2.T @ (-n)
+  v = s2 * s2 * n_local
   denom = jnp.sqrt(jnp.dot(n_local, v))
-  support_local = v / jnp.maximum(denom, 1e-12)
-  sp = ep + em @ support_local
-  dist = jnp.dot(n, sp - d.geom_xpos[p.geom1])
+  sp = p2 + m2 @ (v / jnp.maximum(denom, 1e-12))
+  dist = jnp.dot(n, sp - p1)
   pos = sp - n * 0.5 * dist
   return dist[None], pos[None], _normal_frame(n)[None]
 
 
-def _sphere_sphere_pair(m, d, p: GeomPair):
-  dist, pos, n = _sphere_sphere(
-    d.geom_xpos[p.geom1], m.geom_size[p.geom1, 0],
-    d.geom_xpos[p.geom2], m.geom_size[p.geom2, 0],
-  )
+def _sphere_sphere_pair(p1, m1, s1, p2, m2, s2):
+  dist, pos, n = _sphere_sphere(p1, s1[0], p2, s2[0])
   return dist[None], pos[None], _normal_frame(n)[None]
 
 
-def _sphere_capsule(m, d, p: GeomPair):
-  c = d.geom_xpos[p.geom2]
-  axis = d.geom_xmat[p.geom2][:, 2]
-  hl = m.geom_size[p.geom2, 1]
-  seg_pt = _closest_segment_point(c - axis * hl, c + axis * hl, d.geom_xpos[p.geom1])
-  dist, pos, n = _sphere_sphere(
-    d.geom_xpos[p.geom1], m.geom_size[p.geom1, 0], seg_pt, m.geom_size[p.geom2, 0]
-  )
+def _sphere_capsule(p1, m1, s1, p2, m2, s2):
+  axis, hl = m2[:, 2], s2[1]
+  seg_pt = _closest_segment_point(p2 - axis * hl, p2 + axis * hl, p1)
+  dist, pos, n = _sphere_sphere(p1, s1[0], seg_pt, s2[0])
   return dist[None], pos[None], _normal_frame(n)[None]
 
 
-def _sphere_box_pair(m, d, p: GeomPair):
-  dist, pos, n = _sphere_box(
-    d.geom_xpos[p.geom1], m.geom_size[p.geom1, 0],
-    d.geom_xpos[p.geom2], d.geom_xmat[p.geom2], m.geom_size[p.geom2],
-  )
-  # _sphere_box normal points box → sphere = geom2 → geom1; flip.
+def _sphere_box(p1, m1, s1, p2, m2, s2):
+  dist, pos, n = _sphere_box_impl(p1, s1[0], p2, m2, s2)
+  # _sphere_box_impl normal points box → sphere = geom2 → geom1; flip.
   return dist[None], pos[None], _normal_frame(-n)[None]
 
 
-def _capsule_capsule(m, d, p: GeomPair):
-  c1, a1 = d.geom_xpos[p.geom1], d.geom_xmat[p.geom1][:, 2]
-  c2, a2 = d.geom_xpos[p.geom2], d.geom_xmat[p.geom2][:, 2]
-  h1, h2 = m.geom_size[p.geom1, 1], m.geom_size[p.geom2, 1]
+def _capsule_capsule(p1, m1, s1, p2, m2, s2):
+  a1, h1 = m1[:, 2], s1[1]
+  a2, h2 = m2[:, 2], s2[1]
   pt1, pt2 = _closest_segment_segment(
-    c1 - a1 * h1, c1 + a1 * h1, c2 - a2 * h2, c2 + a2 * h2
+    p1 - a1 * h1, p1 + a1 * h1, p2 - a2 * h2, p2 + a2 * h2
   )
-  dist, pos, n = _sphere_sphere(
-    pt1, m.geom_size[p.geom1, 0], pt2, m.geom_size[p.geom2, 0]
-  )
+  dist, pos, n = _sphere_sphere(pt1, s1[0], pt2, s2[0])
   return dist[None], pos[None], _normal_frame(n)[None]
 
 
-def _capsule_box(m, d, p: GeomPair):
-  """Two sphere-box contacts at the capsule's closest segment samples."""
-  c, axis = d.geom_xpos[p.geom1], d.geom_xmat[p.geom1][:, 2]
-  r, hl = m.geom_size[p.geom1, 0], m.geom_size[p.geom1, 1]
-  bp, bm, bs = d.geom_xpos[p.geom2], d.geom_xmat[p.geom2], m.geom_size[p.geom2]
-  # Closest point on the capsule axis segment to the box center, plus the
-  # nearer endpoint, gives two support samples.
-  near = _closest_segment_point(c - axis * hl, c + axis * hl, bp)
-  t_end = jnp.where(jnp.dot(near - c, axis) >= 0, 1.0, -1.0)
-  samples = [near, c + axis * (t_end * hl)]
-  dists, poss, frames = [], [], []
-  for s in samples:
-    dist, pos, n = _sphere_box(s, r, bp, bm, bs)
-    dists.append(dist)
-    poss.append(pos)
-    frames.append(_normal_frame(-n))
-  return jnp.stack(dists), jnp.stack(poss), jnp.stack(frames)
+def _capsule_box(p1, m1, s1, p2, m2, s2):
+  axis, r, hl = m1[:, 2], s1[0], s1[1]
+  near = _closest_segment_point(p1 - axis * hl, p1 + axis * hl, p2)
+  t_end = jnp.where(jnp.dot(near - p1, axis) >= 0, 1.0, -1.0)
+  end = p1 + axis * (t_end * hl)
+  d0, q0, n0 = _sphere_box_impl(near, r, p2, m2, s2)
+  d1, q1, n1 = _sphere_box_impl(end, r, p2, m2, s2)
+  return (
+    jnp.stack([d0, d1]),
+    jnp.stack([q0, q1]),
+    jnp.stack([_normal_frame(-n0), _normal_frame(-n1)]),
+  )
 
 
 _DISPATCH = {
@@ -250,59 +217,67 @@ _DISPATCH = {
   (_G.mjGEOM_PLANE, _G.mjGEOM_ELLIPSOID): _plane_ellipsoid,
   (_G.mjGEOM_SPHERE, _G.mjGEOM_SPHERE): _sphere_sphere_pair,
   (_G.mjGEOM_SPHERE, _G.mjGEOM_CAPSULE): _sphere_capsule,
-  (_G.mjGEOM_SPHERE, _G.mjGEOM_BOX): _sphere_box_pair,
+  (_G.mjGEOM_SPHERE, _G.mjGEOM_BOX): _sphere_box,
   (_G.mjGEOM_CAPSULE, _G.mjGEOM_CAPSULE): _capsule_capsule,
   (_G.mjGEOM_CAPSULE, _G.mjGEOM_BOX): _capsule_box,
 }
 
 
-def _combine_params(tp: Topology, m: Model, p: GeomPair):
-  """Contact parameter mixing (mj_contactParam semantics), in-trace so that
-  geom-level domain randomization (e.g. geom_friction) takes effect."""
-  g1, g2 = p.geom1, p.geom2
-  p1, p2 = int(tp.geom_priority[g1]), int(tp.geom_priority[g2])
+def _combine_params_vec(tp: Topology, m: Model, g1: np.ndarray, g2: np.ndarray):
+  """Vectorized mj_contactParam over a pair group (static priority masks)."""
+  prio1 = tp.geom_priority[g1]
+  prio2 = tp.geom_priority[g2]
+  hi = np.where(prio1 >= prio2, g1, g2)  # used only where priorities differ
+  differ = jnp.asarray(prio1 != prio2)
+
+  s1 = jnp.maximum(m.geom_solmix[g1], 1e-12)
+  s2 = jnp.maximum(m.geom_solmix[g2], 1e-12)
+  w1 = (s1 / (s1 + s2))[:, None]
+  w2 = (s2 / (s1 + s2))[:, None]
+  fri_mix = jnp.maximum(m.geom_friction[g1], m.geom_friction[g2])
+  ref_mix = w1 * m.geom_solref[g1] + w2 * m.geom_solref[g2]
+  direct = ((m.geom_solref[g1, 0] <= 0) | (m.geom_solref[g2, 0] <= 0))[:, None]
+  ref_mix = jnp.where(
+    direct, jnp.minimum(m.geom_solref[g1], m.geom_solref[g2]), ref_mix
+  )
+  imp_mix = w1 * m.geom_solimp[g1] + w2 * m.geom_solimp[g2]
+
+  fri3 = jnp.where(differ[:, None], m.geom_friction[hi], fri_mix)
+  solref = jnp.where(differ[:, None], m.geom_solref[hi], ref_mix)
+  solimp = jnp.where(differ[:, None], m.geom_solimp[hi], imp_mix)
   margin = jnp.maximum(m.geom_margin[g1], m.geom_margin[g2])
   gap = jnp.maximum(m.geom_gap[g1], m.geom_gap[g2])
-  if p1 != p2:
-    hi = g1 if p1 > p2 else g2
-    fri3 = m.geom_friction[hi]
-    solref = m.geom_solref[hi]
-    solimp = m.geom_solimp[hi]
-  else:
-    s1 = jnp.maximum(m.geom_solmix[g1], 1e-12)
-    s2 = jnp.maximum(m.geom_solmix[g2], 1e-12)
-    w1 = s1 / (s1 + s2)
-    w2 = s2 / (s1 + s2)
-    fri3 = jnp.maximum(m.geom_friction[g1], m.geom_friction[g2])
-    solref = w1 * m.geom_solref[g1] + w2 * m.geom_solref[g2]
-    # Direct (negative) solref: element-wise min (mjx/mujoco behavior).
-    direct = (m.geom_solref[g1, 0] <= 0) | (m.geom_solref[g2, 0] <= 0)
-    solref = jnp.where(
-      direct, jnp.minimum(m.geom_solref[g1], m.geom_solref[g2]), solref
-    )
-    solimp = w1 * m.geom_solimp[g1] + w2 * m.geom_solimp[g2]
-  friction = jnp.stack([fri3[0], fri3[0], fri3[1], fri3[2], fri3[2]])
-  return friction, solref, solimp, margin, gap
+  friction = jnp.stack(
+    [fri3[:, 0], fri3[:, 0], fri3[:, 1], fri3[:, 2], fri3[:, 2]], axis=-1
+  )
+  return friction, solref, solimp, margin - gap
 
 
 def collision(tp: Topology, m: Model, d: Data) -> Data:
-  """Run narrowphase on every static pair; fill the contact slots."""
+  """Run narrowphase: one vmapped call per geometry-type group."""
   if tp.ncon_max == 0:
     return d
   dists, poss, frames = [], [], []
   fris, refs, imps, margins = [], [], [], []
-  for p in tp.pairs:
-    fn = _DISPATCH[(p.type1, p.type2)]
-    dist, pos, frame = fn(m, d, p)
-    friction, solref, solimp, margin, gap = _combine_params(tp, m, p)
-    k = p.ncon
-    dists.append(dist)
-    poss.append(pos)
-    frames.append(frame)
-    fris.append(jnp.tile(friction[None], (k, 1)))
-    refs.append(jnp.tile(solref[None], (k, 1)))
-    imps.append(jnp.tile(solimp[None], (k, 1)))
-    margins.append(jnp.tile((margin - gap)[None], (k,)))
+  for key, group in itertools.groupby(tp.pairs, key=lambda p: (p.type1, p.type2)):
+    group = list(group)
+    fn = _DISPATCH[key]
+    g1 = np.asarray([p.geom1 for p in group])
+    g2 = np.asarray([p.geom2 for p in group])
+    k = group[0].ncon
+    dist, pos, frame = jax.vmap(fn)(
+      d.geom_xpos[g1], d.geom_xmat[g1], m.geom_size[g1],
+      d.geom_xpos[g2], d.geom_xmat[g2], m.geom_size[g2],
+    )  # (n, k), (n, k, 3), (n, k, 3, 3)
+    friction, solref, solimp, inclmargin = _combine_params_vec(tp, m, g1, g2)
+    n = len(group)
+    dists.append(dist.reshape(n * k))
+    poss.append(pos.reshape(n * k, 3))
+    frames.append(frame.reshape(n * k, 3, 3))
+    fris.append(jnp.repeat(friction, k, axis=0))
+    refs.append(jnp.repeat(solref, k, axis=0))
+    imps.append(jnp.repeat(solimp, k, axis=0))
+    margins.append(jnp.repeat(inclmargin, k, axis=0))
   contact = Contact(
     dist=jnp.concatenate(dists),
     pos=jnp.concatenate(poss),

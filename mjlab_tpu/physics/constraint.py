@@ -2,17 +2,24 @@
 
 Implements MuJoCo's soft-constraint model (dof friction, joint limits,
 frictional contacts with pyramidal cones) with fully static row allocation:
-row i's meaning is fixed at trace time; inactive rows are masked by the
-solver's activation rule. Row order: [dof friction | joint limits | contacts],
-matching MuJoCo's relative ordering for per-row parity testing.
+row meanings are fixed at trace time; rows whose constraint is not "included"
+(dist >= margin — MuJoCo drops them from efc entirely) get D = 0 and are
+inert in the solver. Assembly is vectorized over rows (no per-row Python
+ops in the trace): one batched point-Jacobian computation covers every
+contact slot, and facet rows are built by group (condim) with masked math.
+
+Row layout: [dof friction | joint limits | contact groups by condim].
 """
 
 from __future__ import annotations
 
+import dataclasses
+import functools
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-from mjlab_tpu.physics.io import contact_rows
 from mjlab_tpu.physics.types import ConeType, Data, Model, Topology
 
 _MINVAL = 1e-15
@@ -34,20 +41,16 @@ def _impedance(solimp: jax.Array, pos: jax.Array) -> jax.Array:
   x = jnp.clip(jnp.abs(pos) / width, 0.0, 1.0)
   a = 1.0 / jnp.power(mid, power - 1)
   b = 1.0 / jnp.power(1 - mid, power - 1)
-  y = jnp.where(
-    x < mid, a * jnp.power(x, power), 1 - b * jnp.power(1 - x, power)
-  )
+  y = jnp.where(x < mid, a * jnp.power(x, power), 1 - b * jnp.power(1 - x, power))
   return jnp.clip(dmin + y * (dmax - dmin), _MINIMP, _MAXIMP)
 
 
-def _kbi(
-  solref: jax.Array, solimp: jax.Array, pos: jax.Array, dmax_override=None
-) -> tuple[jax.Array, jax.Array, jax.Array]:
-  """Stiffness k, damping b, impedance imp from solver parameters."""
+def _kbi(solref: jax.Array, solimp: jax.Array, pos: jax.Array):
+  """Stiffness k, damping b, impedance from solver parameters (broadcasts)."""
   imp = _impedance(solimp, pos)
   dmax = jnp.clip(solimp[..., 1], _MINIMP, _MAXIMP)
   timeconst, dampratio = solref[..., 0], solref[..., 1]
-  std = timeconst > 0  # standard (timeconst, dampratio) parametrization
+  std = timeconst > 0
   b_std = 2.0 / jnp.maximum(dmax * timeconst, _MINVAL)
   k_std = 1.0 / jnp.maximum(
     dmax * dmax * timeconst * timeconst * dampratio * dampratio, _MINVAL
@@ -57,140 +60,208 @@ def _kbi(
   return k, b, imp
 
 
-def _point_jacobian(
-  tp: Topology, d: Data, point: jax.Array, body: int
-) -> jax.Array:
-  """Translational Jacobian (3, nv) of a world point on `body`."""
-  # Velocity at point p from dof j: cdof_lin + cdof_ang × (p - origin_j).
-  origins = d.subtree_com[tp.body_rootid[tp.dof_bodyid]]  # (nv, 3)
-  ang = d.cdof[:, :3]
-  lin = d.cdof[:, 3:]
-  jac = lin + jnp.cross(ang, point[None, :] - origins)  # (nv, 3)
-  mask = jnp.asarray(tp.body_dof_mask[body], dtype=d.qpos.dtype)  # (nv,)
-  return (jac * mask[:, None]).T
+def _rows_from(J, pos, margin, solref, solimp, diag_approx, qvel, include,
+               frictionloss=None):
+  """Vectorized row finalization: (D, aref) from the soft-constraint model."""
+  k, b, imp = _kbi(solref, solimp, pos - margin)
+  vel = J @ qvel
+  aref = -b * vel - k * imp * (pos - margin)
+  r = jnp.maximum((1 - imp) / imp * diag_approx, _MINVAL)
+  D = jnp.where(include, 1.0 / r, 0.0)
+  fl = (
+    jnp.zeros_like(D)
+    if frictionloss is None
+    else frictionloss * include.astype(D.dtype)
+  )
+  return D, aref, fl
+
+
+# ---------------------------------------------------------------------------
+# Static slot tables (host-side, cached per Topology).
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class SlotTables:
+  g1: np.ndarray  # (C,) geom ids
+  g2: np.ndarray
+  b1: np.ndarray  # (C,) body ids
+  b2: np.ndarray
+  condim: np.ndarray  # (C,)
+  # Row bookkeeping: start row of each slot in the efc arrays and row count.
+  slot_row_adr: np.ndarray  # (C,)
+  slot_row_num: np.ndarray  # (C,)
+  nrow_contact: int
+
+
+@functools.lru_cache(maxsize=64)
+def slot_tables(tp: Topology, cone: int) -> SlotTables:
+  g1, g2, b1, b2, condim = [], [], [], [], []
+  for p in tp.pairs:
+    for _ in range(p.ncon):
+      g1.append(p.geom1)
+      g2.append(p.geom2)
+      b1.append(int(tp.geom_bodyid[p.geom1]))
+      b2.append(int(tp.geom_bodyid[p.geom2]))
+      condim.append(p.condim)
+  condim = np.asarray(condim, dtype=np.int32)
+  # Rows are grouped by condim (ascending), preserving slot order per group.
+  adr = np.zeros(len(condim), dtype=np.int32)
+  num = np.zeros(len(condim), dtype=np.int32)
+  row = 0
+  for c in sorted(set(condim.tolist())):
+    for i in np.nonzero(condim == c)[0]:
+      nrows = 1 if c == 1 else (2 * (c - 1) if cone == ConeType.PYRAMIDAL else c)
+      adr[i] = row
+      num[i] = nrows
+      row += nrows
+  return SlotTables(
+    g1=np.asarray(g1), g2=np.asarray(g2),
+    b1=np.asarray(b1), b2=np.asarray(b2),
+    condim=condim, slot_row_adr=adr, slot_row_num=num, nrow_contact=row,
+  )
+
+
+def efc_row_types(tp: Topology) -> tuple[int, int, int]:
+  nf = len(tp.friction_dof_ids)
+  nl = len(tp.limited_joint_ids)
+  return nf, nl, tp.nefc - nf - nl
+
+
+def contact_slot_row_adr(tp: Topology, cone: int) -> np.ndarray:
+  """Absolute efc row address of each contact slot's first row (static)."""
+  nf, nl, _ = efc_row_types(tp)
+  st = slot_tables(tp, cone)
+  return nf + nl + st.slot_row_adr
+
+
+# ---------------------------------------------------------------------------
+# Assembly.
+# ---------------------------------------------------------------------------
 
 
 def make_constraint(tp: Topology, m: Model, d: Data) -> Data:
-  """Build efc rows: J, D, aref, pos, margin, frictionloss."""
   dtype = d.qpos.dtype
   nv = tp.nv
   if tp.nefc == 0:
     return d
 
-  J_rows, D_rows, aref_rows, pos_rows, margin_rows, fl_rows = [], [], [], [], [], []
+  J_parts, D_parts, aref_parts, pos_parts, margin_parts, fl_parts = (
+    [], [], [], [], [], []
+  )
 
-  def add_row(J, pos, margin, solref, solimp, diag_approx, frictionloss=0.0,
-              include=True):
-    """include: row participates only when True (MuJoCo drops rows with
-    dist >= margin from efc entirely; we zero D instead — static shapes)."""
-    k, b, imp = _kbi(solref, solimp, pos - margin)
-    vel = J @ d.qvel
-    aref = -b * vel - k * imp * (pos - margin)
-    r = jnp.maximum((1 - imp) / imp * diag_approx, _MINVAL)
-    D = jnp.where(include, 1.0 / r, 0.0)
-    J_rows.append(J)
-    D_rows.append(D)
-    aref_rows.append(aref)
-    pos_rows.append(pos)
-    margin_rows.append(margin)
-    fl_rows.append(jnp.asarray(frictionloss, dtype=dtype) * (include * 1.0))
-
-  # 1) Dof friction rows (Huber cost in the solver).
-  for dof in tp.friction_dof_ids:
-    dof = int(dof)
-    J = jnp.zeros(nv, dtype=dtype).at[dof].set(1.0)
-    add_row(
-      J,
-      pos=jnp.asarray(0.0, dtype=dtype),
-      margin=jnp.asarray(0.0, dtype=dtype),
-      solref=m.dof_solref[dof],
-      solimp=m.dof_solimp[dof],
-      diag_approx=m.dof_invweight0[dof],
-      frictionloss=m.dof_frictionloss[dof],
+  # 1) Dof friction rows.
+  fd = tp.friction_dof_ids
+  if len(fd):
+    J = jnp.asarray(np.eye(nv)[fd], dtype=dtype)
+    zeros = jnp.zeros(len(fd), dtype=dtype)
+    D, aref, fl = _rows_from(
+      J, zeros, zeros, m.dof_solref[fd], m.dof_solimp[fd],
+      m.dof_invweight0[fd], d.qvel, include=jnp.ones(len(fd), dtype=bool),
+      frictionloss=m.dof_frictionloss[fd],
     )
+    J_parts.append(J)
+    D_parts.append(D)
+    aref_parts.append(aref)
+    pos_parts.append(zeros)
+    margin_parts.append(zeros)
+    fl_parts.append(fl)
 
-  # 2) Joint limit rows (hinge/slide; one row, nearest side).
-  for j in tp.limited_joint_ids:
-    j = int(j)
-    qadr, dadr = int(tp.jnt_qposadr[j]), int(tp.jnt_dofadr[j])
+  # 2) Joint limit rows (hinge/slide, nearest side).
+  lj = tp.limited_joint_ids
+  if len(lj):
+    qadr = tp.jnt_qposadr[lj]
+    dadr = tp.jnt_dofadr[lj]
     q = d.qpos[qadr]
-    dist_lo = q - m.jnt_range[j, 0]
-    dist_hi = m.jnt_range[j, 1] - q
+    dist_lo = q - m.jnt_range[lj, 0]
+    dist_hi = m.jnt_range[lj, 1] - q
     lower = dist_lo < dist_hi
     dist = jnp.where(lower, dist_lo, dist_hi)
     sign = jnp.where(lower, 1.0, -1.0).astype(dtype)
-    J = jnp.zeros(nv, dtype=dtype).at[dadr].set(1.0) * sign
-    add_row(
-      J,
-      pos=dist,
-      margin=m.jnt_margin[j],
-      solref=m.jnt_solref[j],
-      solimp=m.jnt_solimp[j],
-      diag_approx=m.dof_invweight0[dadr],
-      include=dist < m.jnt_margin[j],
+    J = jnp.asarray(np.eye(nv)[dadr], dtype=dtype) * sign[:, None]
+    margin = m.jnt_margin[lj]
+    D, aref, fl = _rows_from(
+      J, dist, margin, m.jnt_solref[lj], m.jnt_solimp[lj],
+      m.dof_invweight0[dadr], d.qvel, include=dist < margin,
     )
+    J_parts.append(J)
+    D_parts.append(D)
+    aref_parts.append(aref)
+    pos_parts.append(dist)
+    margin_parts.append(margin)
+    fl_parts.append(fl)
 
-  # 3) Contact rows.
-  slot = 0
-  for p in tp.pairs:
-    b1 = int(tp.geom_bodyid[p.geom1])
-    b2 = int(tp.geom_bodyid[p.geom2])
-    invweight = m.body_invweight0[b1, 0] + m.body_invweight0[b2, 0]
-    for s in range(p.ncon):
-      i = slot + s
-      con_pos = d.contact.pos[i]
-      frame = d.contact.frame[i]  # rows: n, t1, t2
-      jacp = _point_jacobian(tp, d, con_pos, b2) - _point_jacobian(
-        tp, d, con_pos, b1
-      )  # (3, nv)
-      jrows = frame @ jacp  # normal/tangent rows
-      pos = d.contact.dist[i]
-      margin = d.contact.includemargin[i]
-      solref = d.contact.solref[i]
-      solimp = d.contact.solimp[i]
-      include = pos < margin
-      if m.opt.cone == ConeType.PYRAMIDAL:
-        if p.condim == 1:
-          add_row(jrows[0], pos, margin, solref, solimp, invweight,
-                  include=include)
-        else:
-          for fdim in range(1, p.condim):
-            mu = d.contact.friction[i, fdim - 1]
-            diag = 2.0 * mu * mu * (1.0 + mu * mu) * invweight
-            for sgn in (1.0, -1.0):
-              J = jrows[0] + sgn * mu * jrows[fdim]
-              add_row(J, pos, margin, solref, solimp, diag, include=include)
+  # 3) Contact rows — fully vectorized over slots.
+  st = slot_tables(tp, m.opt.cone)
+  if len(st.condim):
+    c = d.contact
+    # Relative point Jacobian for every slot: (C, 3, nv).
+    origins = jnp.asarray(
+      d.subtree_com[tp.body_rootid[tp.dof_bodyid]], dtype=dtype
+    )  # (nv, 3)
+    ang, lin = d.cdof[:, :3], d.cdof[:, 3:]
+    jac = lin[None] + jnp.cross(
+      ang[None], c.pos[:, None, :] - origins[None]
+    )  # (C, nv, 3)
+    dmask = jnp.asarray(
+      tp.body_dof_mask[st.b2].astype(np.float64)
+      - tp.body_dof_mask[st.b1].astype(np.float64),
+      dtype=dtype,
+    )  # (C, nv)
+    jacp = jac * dmask[:, :, None]
+    rows_nt = jnp.einsum("cij,cvj->civ", c.frame, jacp)  # (C, 3, nv)
+
+    invweight = m.body_invweight0[st.b1, 0] + m.body_invweight0[st.b2, 0]
+    include = c.dist < c.includemargin
+    if m.opt.cone != ConeType.PYRAMIDAL:
+      raise NotImplementedError("elliptic cone (planned)")
+
+    for cd in sorted(set(st.condim.tolist())):
+      idx = np.nonzero(st.condim == cd)[0]
+      n_rows, inc, iw = rows_nt[idx, 0], include[idx], invweight[idx]
+      pos_g = c.dist[idx]
+      mar_g = c.includemargin[idx]
+      ref_g, imp_g = c.solref[idx], c.solimp[idx]
+      if cd == 1:
+        D, aref, fl = _rows_from(
+          n_rows, pos_g, mar_g, ref_g, imp_g, iw, d.qvel, inc
+        )
+        J_parts.append(n_rows)
+        D_parts.append(D)
+        aref_parts.append(aref)
+        pos_parts.append(pos_g)
+        margin_parts.append(mar_g)
+        fl_parts.append(fl)
       else:
-        raise NotImplementedError("elliptic cone (planned)")
-    slot += p.ncon
+        nfacet = 2 * (cd - 1)
+        # Facets: for each tangent dim f: n ± mu_f t_f.
+        Js, diags = [], []
+        for f in range(1, cd):
+          mu = c.friction[idx, f - 1]
+          t_rows = rows_nt[idx, f]
+          Js.append(n_rows + mu[:, None] * t_rows)
+          Js.append(n_rows - mu[:, None] * t_rows)
+          dg = 2.0 * mu * mu * (1.0 + mu * mu) * iw
+          diags.extend([dg, dg])
+        J = jnp.stack(Js, axis=1).reshape(len(idx) * nfacet, nv)
+        diag = jnp.stack(diags, axis=1).reshape(-1)
+        rep = lambda x: jnp.repeat(x, nfacet, axis=0)
+        D, aref, fl = _rows_from(
+          J, rep(pos_g), rep(mar_g), rep(ref_g), rep(imp_g), diag,
+          d.qvel, rep(inc),
+        )
+        J_parts.append(J)
+        D_parts.append(D)
+        aref_parts.append(aref)
+        pos_parts.append(rep(pos_g))
+        margin_parts.append(rep(mar_g))
+        fl_parts.append(fl)
 
-  efc_J = jnp.stack(J_rows)
   return d.replace(
-    efc_J=efc_J,
-    efc_D=jnp.stack(D_rows),
-    efc_aref=jnp.stack(aref_rows),
-    efc_pos=jnp.stack(pos_rows),
-    efc_margin=jnp.stack(margin_rows),
-    efc_frictionloss=jnp.stack(fl_rows),
+    efc_J=jnp.concatenate(J_parts, axis=0),
+    efc_D=jnp.concatenate(D_parts),
+    efc_aref=jnp.concatenate(aref_parts),
+    efc_pos=jnp.concatenate(pos_parts),
+    efc_margin=jnp.concatenate(margin_parts),
+    efc_frictionloss=jnp.concatenate(fl_parts),
   )
-
-
-def efc_row_types(tp: Topology) -> tuple[int, int, int]:
-  """(n_friction_rows, n_limit_rows, n_contact_rows) — static row partition."""
-  nf = len(tp.friction_dof_ids)
-  nl = len(tp.limited_joint_ids)
-  nc = tp.nefc - nf - nl
-  return nf, nl, nc
-
-
-def contact_efc_address(tp: Topology, cone: int) -> list[int]:
-  """Starting efc row of each contact slot (static)."""
-  nf, nl, _ = efc_row_types(tp)
-  adr = nf + nl
-  out = []
-  for p in tp.pairs:
-    rows = contact_rows(p.condim, cone)
-    for _ in range(p.ncon):
-      out.append(adr)
-      adr += rows
-  return out

@@ -104,6 +104,9 @@ def _candidate_pairs(m: mujoco.MjModel) -> list[GeomPair]:
           condim=condim,
         )
       )
+  # Sort by type pair so collision dispatch groups are contiguous and the
+  # vectorized narrowphase runs once per geometry-type combination.
+  pairs.sort(key=lambda p: (p.type1, p.type2))
   return pairs
 
 
@@ -117,6 +120,16 @@ def _dof_ancestor_mask(m: mujoco.MjModel) -> np.ndarray:
       mask[i, j] = True
       j = int(m.dof_parentid[j])
   return mask
+
+
+def _body_levels(m: mujoco.MjModel) -> tuple[np.ndarray, ...]:
+  """Group non-world bodies by tree depth (level-vectorized tree passes)."""
+  depth = np.zeros(m.nbody, dtype=int)
+  for i in range(1, m.nbody):
+    depth[i] = depth[m.body_parentid[i]] + 1
+  return tuple(
+    np.nonzero(depth == lv)[0] for lv in range(1, depth.max() + 1 if m.nbody > 1 else 1)
+  )
 
 
 def _body_masks(m: mujoco.MjModel) -> tuple[np.ndarray, np.ndarray]:
@@ -238,6 +251,7 @@ def put_model(
     sensor_refid=m.sensor_refid.copy(),
     sensor_adr=m.sensor_adr.copy(),
     sensor_dim=m.sensor_dim.copy(),
+    body_levels=_body_levels(m),
     dof_ancestor_mask=_dof_ancestor_mask(m),
     body_subtree_mask=_body_masks(m)[0],
     body_dof_mask=_body_masks(m)[1],

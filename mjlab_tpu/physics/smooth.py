@@ -1,11 +1,13 @@
 """Smooth (unconstrained) dynamics: CoM quantities, CRB mass matrix, RNE bias
 forces, passive forces, actuation, and the smooth acceleration.
 
-TPU-native replacement for mujoco_warp's smooth-dynamics kernels. The key
-TPU-first choices:
-  * spatial inertia / motion algebra on packed arrays, batched over bodies;
-  * CRB mass matrix assembled as one masked (nv,6)@(6,nv) matmul (MXU);
-  * tree accumulations as (nbody,nbody) mask matmuls instead of scatters;
+TPU-native replacement for mujoco_warp's smooth-dynamics kernels. TPU-first
+choices:
+  * tree accumulations are (nbody,nbody)/(nbody,nv) mask matmuls (MXU) or
+    level-vectorized passes — traces are O(tree depth), not O(nbody);
+  * per-dof quantities (cdof, cdof_dot) are built fully vectorized per joint
+    type, no per-joint Python ops in the trace;
+  * CRB mass matrix assembled as one masked (nv,6)@(6,nv) matmul;
   * dense batched Cholesky for M (nv is small; XLA batches it well).
 
 Spatial vectors are ordered [angular(3); linear(3)] about a per-tree origin
@@ -15,22 +17,25 @@ are directly comparable to MjData in parity tests.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import mujoco
+import numpy as np
 
 from mjlab_tpu.core import math as mt
 from mjlab_tpu.physics.types import Data, Model, Topology
 
-_FREE = mujoco.mjtJoint.mjJNT_FREE
-_BALL = mujoco.mjtJoint.mjJNT_BALL
-_HINGE = mujoco.mjtJoint.mjJNT_HINGE
-_SLIDE = mujoco.mjtJoint.mjJNT_SLIDE
+_FREE = int(mujoco.mjtJoint.mjJNT_FREE)
+_BALL = int(mujoco.mjtJoint.mjJNT_BALL)
+_HINGE = int(mujoco.mjtJoint.mjJNT_HINGE)
+_SLIDE = int(mujoco.mjtJoint.mjJNT_SLIDE)
 
 
 # ---------------------------------------------------------------------------
-# Spatial algebra helpers. cinert packing: [Ixx, Iyy, Izz, Ixy, Ixz, Iyz,
-# hx, hy, hz, m] — inertia about the tree origin, h = m * (com - origin).
+# Spatial algebra. cinert packing: [Ixx, Iyy, Izz, Ixy, Ixz, Iyz, hx, hy, hz,
+# m] — inertia about the tree origin, h = m * (com - origin). Matches MjData.
 # ---------------------------------------------------------------------------
 
 
@@ -55,7 +60,7 @@ def inert_mul(ci: jax.Array, u: jax.Array) -> jax.Array:
 
 
 def cross_motion(u: jax.Array, v: jax.Array) -> jax.Array:
-  """Spatial cross product of motion vectors (Lie bracket), [ang; lin]."""
+  """Spatial cross product of motion vectors, [ang; lin]."""
   wu, vu = u[..., :3], u[..., 3:]
   wv, vv = v[..., :3], v[..., 3:]
   ang = jnp.cross(wu, wv)
@@ -72,10 +77,51 @@ def cross_force(u: jax.Array, f: jax.Array) -> jax.Array:
   return jnp.concatenate([ang, lin], axis=-1)
 
 
-def transform_motion(u: jax.Array, offset: jax.Array) -> jax.Array:
-  """Shift a motion vector's reference point by `offset` (new - old origin)."""
-  w, v = u[..., :3], u[..., 3:]
-  return jnp.concatenate([w, v - jnp.cross(offset, w)], axis=-1)
+# ---------------------------------------------------------------------------
+# Static helper tables (host, cached per Topology).
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=64)
+def _dof_tables(tp: Topology):
+  """Static per-dof tables for vectorized cdof/cdof_dot construction."""
+  nv = tp.nv
+  dof_jnt = tp.dof_jntid
+  jnt_type = tp.jnt_type[dof_jnt]
+  # Position of each dof within its joint.
+  dof_in_jnt = np.arange(nv) - tp.jnt_dofadr[dof_jnt]
+  is_free_trans = (jnt_type == _FREE) & (dof_in_jnt < 3)
+  is_free_rot = (jnt_type == _FREE) & (dof_in_jnt >= 3)
+  is_ball = jnt_type == _BALL
+  is_hinge = jnt_type == _HINGE
+  is_slide = jnt_type == _SLIDE
+  # Rotation-axis column index in xmat for free-rot/ball dofs.
+  axis_col = np.where(is_free_rot, dof_in_jnt - 3, dof_in_jnt)
+  # "Preceding dof" mask for cdof_dot partial velocities (mj_comVel order):
+  # dof k precedes dof j if same body & earlier joint, or same free joint
+  # with k translational and j rotational.
+  prec = np.zeros((nv, nv), dtype=bool)
+  for j in range(nv):
+    for k in range(nv):
+      if tp.dof_bodyid[j] != tp.dof_bodyid[k]:
+        continue
+      if dof_jnt[k] < dof_jnt[j]:
+        prec[j, k] = True
+      elif dof_jnt[k] == dof_jnt[j] and is_free_rot[j] and is_free_trans[k]:
+        prec[j, k] = True
+  # Direct dof→body incidence (nbody, nv).
+  direct = np.zeros((tp.nbody, nv), dtype=bool)
+  direct[tp.dof_bodyid, np.arange(nv)] = True
+  return {
+    "is_free_trans": is_free_trans,
+    "is_free_rot": is_free_rot,
+    "is_ball": is_ball,
+    "is_hinge": is_hinge,
+    "is_slide": is_slide,
+    "axis_col": axis_col,
+    "prec_mask": prec,
+    "direct_mask": direct,
+  }
 
 
 # ---------------------------------------------------------------------------
@@ -84,22 +130,20 @@ def transform_motion(u: jax.Array, offset: jax.Array) -> jax.Array:
 
 
 def com_pos(tp: Topology, m: Model, d: Data) -> Data:
-  """subtree_com, cinert, cdof (mj_comPos equivalent)."""
+  """subtree_com, cinert, cdof (mj_comPos equivalent), fully vectorized."""
   dtype = d.qpos.dtype
   mass = m.body_mass
   sub_mask = jnp.asarray(tp.body_subtree_mask, dtype=dtype)
-  wsum = sub_mask @ (mass[:, None] * d.xipos)  # (nbody, 3)
-  msum = sub_mask @ mass  # (nbody,)
+  wsum = sub_mask @ (mass[:, None] * d.xipos)
+  msum = sub_mask @ mass
   subtree_com = wsum / jnp.maximum(msum, 1e-12)[:, None]
+  origin = subtree_com[tp.body_rootid]  # (nbody, 3) per-tree origin
 
-  # Per-tree origin for body i: subtree com of its root body.
-  origin = subtree_com[tp.body_rootid]  # (nbody, 3)
-
-  # cinert: spatial inertia of each body about its tree origin, world-aligned.
-  imat_local = jax.vmap(jnp.diag)(m.body_inertia)  # (nbody, 3, 3)
+  # cinert.
+  imat_local = m.body_inertia[..., None] * jnp.eye(3, dtype=dtype)
   R = d.ximat
   i_world = R @ imat_local @ jnp.swapaxes(R, -1, -2)
-  r = d.xipos - origin  # com offset from origin
+  r = d.xipos - origin
   rr = jnp.einsum("...i,...j->...ij", r, r)
   r2 = jnp.sum(r * r, axis=-1)[..., None, None]
   eye = jnp.eye(3, dtype=dtype)
@@ -114,74 +158,56 @@ def com_pos(tp: Topology, m: Model, d: Data) -> Data:
     axis=-1,
   )
 
-  # cdof: motion subspace per dof about the tree origin.
-  cdof = [None] * tp.nv
-  for j in range(tp.njnt):
-    jtype = int(tp.jnt_type[j])
-    dadr = int(tp.jnt_dofadr[j])
-    bid = int(tp.jnt_bodyid[j])
-    o = origin[bid]
-    if jtype == _FREE:
-      for k in range(3):
-        e = jnp.zeros(3, dtype=dtype).at[k].set(1.0)
-        cdof[dadr + k] = jnp.concatenate([jnp.zeros(3, dtype=dtype), e])
-      # Rotational dofs: world-aligned axes anchored at body frame origin.
-      for k in range(3):
-        axis = d.xmat[bid][:, k]
-        lin = jnp.cross(axis, o - d.xpos[bid])
-        cdof[dadr + 3 + k] = jnp.concatenate([axis, lin])
-    elif jtype == _BALL:
-      for k in range(3):
-        axis = d.xmat[bid][:, k]
-        lin = jnp.cross(axis, o - d.xanchor[j])
-        cdof[dadr + k] = jnp.concatenate([axis, lin])
-    elif jtype == _SLIDE:
-      cdof[dadr] = jnp.concatenate([jnp.zeros(3, dtype=dtype), d.xaxis[j]])
-    elif jtype == _HINGE:
-      axis = d.xaxis[j]
-      lin = jnp.cross(axis, o - d.xanchor[j])
-      cdof[dadr] = jnp.concatenate([axis, lin])
-  cdof_a = (
-    jnp.stack(cdof) if tp.nv else jnp.zeros((0, 6), dtype=dtype)
-  )
-  return d.replace(subtree_com=subtree_com, cinert=cinert, cdof=cdof_a)
+  # cdof — vectorized over all dofs at once.
+  t = _dof_tables(tp)
+  dof_body = tp.dof_bodyid
+  dof_jnt = tp.dof_jntid
+  o = origin[dof_body]  # (nv, 3)
+  anchor = d.xanchor[dof_jnt]
+  jaxis = d.xaxis[dof_jnt]
+  # Rotation axes for free-rot/ball dofs: columns of body xmat.
+  xmat_d = d.xmat[dof_body]  # (nv, 3, 3)
+  col = jnp.take_along_axis(
+    xmat_d, jnp.asarray(t["axis_col"])[:, None, None].repeat(3, 1), axis=2
+  )[..., 0]  # (nv, 3)
+
+  zeros3 = jnp.zeros((tp.nv, 3), dtype=dtype)
+  eye3 = jnp.eye(3, dtype=dtype)
+  trans_axis = jnp.asarray(eye3[t["axis_col"] % 3], dtype=dtype)
+
+  is_ft = jnp.asarray(t["is_free_trans"])[:, None]
+  is_fr = jnp.asarray(t["is_free_rot"])[:, None]
+  is_ball = jnp.asarray(t["is_ball"])[:, None]
+  is_hinge = jnp.asarray(t["is_hinge"])[:, None]
+  is_slide = jnp.asarray(t["is_slide"])[:, None]
+
+  # Rotational dofs anchor: joint anchor (hinge/ball), body origin (free rot).
+  rot_axis = jnp.where(is_hinge, jaxis, col)
+  rot_anchor = jnp.where(is_fr, d.xpos[dof_body], anchor)
+  ang = jnp.where(is_ft | is_slide, zeros3, rot_axis)
+  lin_rot = jnp.cross(rot_axis, o - rot_anchor)
+  lin = jnp.where(is_ft, trans_axis, jnp.where(is_slide, jaxis, lin_rot))
+  cdof = jnp.concatenate([ang, lin], axis=-1)
+  return d.replace(subtree_com=subtree_com, cinert=cinert, cdof=cdof)
 
 
 def com_vel(tp: Topology, m: Model, d: Data) -> Data:
-  """cvel, cdof_dot (mj_comVel equivalent)."""
+  """cvel, cdof_dot (mj_comVel equivalent) via mask matmuls."""
   dtype = d.qpos.dtype
-  cvel_list = [jnp.zeros(6, dtype=dtype)]
-  cdof_dot = [None] * tp.nv
-  for i in range(1, tp.nbody):
-    pid = int(tp.body_parentid[i])
-    cv = cvel_list[pid]
-    jadr, jnum = int(tp.body_jntadr[i]), int(tp.body_jntnum[i])
-    for kj in range(jnum):
-      j = jadr + kj
-      jtype = int(tp.jnt_type[j])
-      dadr = int(tp.jnt_dofadr[j])
-      if jtype == _FREE:
-        # Translation dofs: constant subspace, zero derivative.
-        for k in range(3):
-          cdof_dot[dadr + k] = jnp.zeros(6, dtype=dtype)
-        cv = cv + d.cdof[dadr : dadr + 3].T @ d.qvel[dadr : dadr + 3]
-        # Rotation dofs: derivative from accumulated velocity.
-        for k in range(3):
-          cdof_dot[dadr + 3 + k] = cross_motion(cv, d.cdof[dadr + 3 + k])
-        cv = cv + d.cdof[dadr + 3 : dadr + 6].T @ d.qvel[dadr + 3 : dadr + 6]
-      elif jtype == _BALL:
-        for k in range(3):
-          cdof_dot[dadr + k] = cross_motion(cv, d.cdof[dadr + k])
-        cv = cv + d.cdof[dadr : dadr + 3].T @ d.qvel[dadr : dadr + 3]
-      else:
-        cdof_dot[dadr] = cross_motion(cv, d.cdof[dadr])
-        cv = cv + d.cdof[dadr] * d.qvel[dadr]
-    cvel_list.append(cv)
-  cvel = jnp.stack(cvel_list)
-  cdof_dot_a = (
-    jnp.stack(cdof_dot) if tp.nv else jnp.zeros((0, 6), dtype=dtype)
+  t = _dof_tables(tp)
+  contrib = d.cdof * d.qvel[:, None]  # (nv, 6)
+  bd_mask = jnp.asarray(tp.body_dof_mask, dtype=dtype)
+  cvel = bd_mask @ contrib  # (nbody, 6)
+
+  # Partial velocity seen by each dof (parent body + preceding dofs).
+  parent_vel = cvel[tp.body_parentid[tp.dof_bodyid]]  # (nv, 6)
+  prec = jnp.asarray(t["prec_mask"], dtype=dtype)
+  pv = parent_vel + prec @ contrib
+  cdof_dot = cross_motion(pv, d.cdof)
+  cdof_dot = jnp.where(
+    jnp.asarray(t["is_free_trans"])[:, None], 0.0, cdof_dot
   )
-  return d.replace(cvel=cvel, cdof_dot=cdof_dot_a)
+  return d.replace(cvel=cvel, cdof_dot=cdof_dot)
 
 
 # ---------------------------------------------------------------------------
@@ -190,13 +216,13 @@ def com_vel(tp: Topology, m: Model, d: Data) -> Data:
 
 
 def crb(tp: Topology, m: Model, d: Data) -> Data:
-  """Dense joint-space mass matrix via composite rigid body, one masked matmul."""
+  """Dense joint-space mass matrix via composite rigid body, one matmul."""
   dtype = d.qpos.dtype
   sub_mask = jnp.asarray(tp.body_subtree_mask, dtype=dtype)
-  crb_inert = sub_mask @ d.cinert  # (nbody, 10): subtree composite inertias
+  crb_inert = sub_mask @ d.cinert  # (nbody, 10)
   f = inert_mul(crb_inert[tp.dof_bodyid], d.cdof)  # (nv, 6)
-  mm = f @ d.cdof.T  # (nv, nv); valid where column-dof is ancestor of row-dof
-  mask = jnp.asarray(tp.dof_ancestor_mask, dtype=dtype)  # lower-tri pattern
+  mm = f @ d.cdof.T
+  mask = jnp.asarray(tp.dof_ancestor_mask, dtype=dtype)
   lower = mm * mask
   qm = lower + lower.T - jnp.diag(jnp.diag(lower))
   qm = qm + jnp.diag(m.dof_armature)
@@ -214,29 +240,29 @@ def solve_m(d: Data, rhs: jax.Array) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
-# Bias forces (RNE with zero acceleration) and flat-tree force projection.
+# Bias forces (RNE with zero acceleration).
 # ---------------------------------------------------------------------------
 
 
 def rne(tp: Topology, m: Model, d: Data) -> Data:
-  """qfrc_bias = C(qpos, qvel): recursive Newton-Euler with qacc = 0."""
+  """qfrc_bias = C(qpos, qvel): level-vectorized RNE with qacc = 0."""
   dtype = d.qpos.dtype
+  t = _dof_tables(tp)
   grav = jnp.concatenate([jnp.zeros(3, dtype=dtype), -m.opt.gravity])
-  cacc = [grav] * 1  # world body
-  # Top-down: accelerations.
-  for i in range(1, tp.nbody):
-    pid = int(tp.body_parentid[i])
-    dadr, dnum = int(tp.body_dofadr[i]), int(tp.body_dofnum[i])
-    ca = cacc[pid]
-    if dnum:
-      ca = ca + d.cdof_dot[dadr : dadr + dnum].T @ d.qvel[dadr : dadr + dnum]
-    cacc.append(ca)
-  cacc = jnp.stack(cacc)
-  # Body forces.
+
+  # Per-body velocity-product acceleration contribution (one matmul).
+  direct = jnp.asarray(t["direct_mask"], dtype=dtype)
+  contrib = direct @ (d.cdof_dot * d.qvel[:, None])  # (nbody, 6)
+
+  # Top-down: cacc[i] = cacc[parent] + contrib[i] (level pass).
+  cacc = jnp.tile(grav, (tp.nbody, 1))
+  for ids in tp.body_levels:
+    pid = tp.body_parentid[ids]
+    cacc = cacc.at[ids].set(cacc[pid] + contrib[ids])
+
   cfrc = inert_mul(d.cinert, cacc) + cross_force(d.cvel, inert_mul(d.cinert, d.cvel))
-  # Bottom-up accumulation via subtree mask, then project onto dofs.
   sub_mask = jnp.asarray(tp.body_subtree_mask, dtype=dtype)
-  cfrc_total = sub_mask @ cfrc  # (nbody, 6)
+  cfrc_total = sub_mask @ cfrc
   qfrc_bias = jnp.sum(d.cdof * cfrc_total[tp.dof_bodyid], axis=-1)
   return d.replace(qfrc_bias=qfrc_bias)
 
@@ -247,7 +273,6 @@ def xfrc_projection(tp: Topology, m: Model, d: Data) -> jax.Array:
   origin = d.subtree_com[tp.body_rootid]
   force = d.xfrc_applied[:, :3]
   torque = d.xfrc_applied[:, 3:]
-  # Spatial force at the tree origin: [torque + (p - o) × f ; f].
   t_o = torque + jnp.cross(d.xipos - origin, force)
   fs = jnp.concatenate([t_o, force], axis=-1)  # (nbody, 6)
   contrib = fs @ d.cdof.T  # (nbody, nv)
@@ -260,15 +285,21 @@ def xfrc_projection(tp: Topology, m: Model, d: Data) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
+@functools.lru_cache(maxsize=64)
+def _spring_tables(tp: Topology):
+  ids = np.nonzero(
+    np.isin(tp.jnt_type, [_HINGE, _SLIDE])
+  )[0]
+  return ids, tp.jnt_qposadr[ids], tp.jnt_dofadr[ids]
+
+
 def passive(tp: Topology, m: Model, d: Data) -> Data:
   dtype = d.qpos.dtype
   qfrc_spring = jnp.zeros(tp.nv, dtype=dtype)
-  for j in range(tp.njnt):
-    jtype = int(tp.jnt_type[j])
-    if jtype in (_HINGE, _SLIDE):
-      qadr, dadr = int(tp.jnt_qposadr[j]), int(tp.jnt_dofadr[j])
-      frc = -m.jnt_stiffness[j] * (d.qpos[qadr] - m.qpos_spring[qadr])
-      qfrc_spring = qfrc_spring.at[dadr].set(frc)
+  ids, qadr, dadr = _spring_tables(tp)
+  if len(ids):
+    frc = -m.jnt_stiffness[ids] * (d.qpos[qadr] - m.qpos_spring[qadr])
+    qfrc_spring = qfrc_spring.at[dadr].set(frc)
   qfrc_damper = -m.dof_damping * d.qvel
   return d.replace(
     qfrc_spring=qfrc_spring,
@@ -277,27 +308,32 @@ def passive(tp: Topology, m: Model, d: Data) -> Data:
   )
 
 
+@functools.lru_cache(maxsize=64)
+def _trn_tables(tp: Topology):
+  """Joint-transmission tables; raises on unsupported transmissions."""
+  for u in range(tp.nu):
+    if int(tp.actuator_trntype[u]) != int(mujoco.mjtTrn.mjTRN_JOINT):
+      raise NotImplementedError(
+        f"actuator transmission {tp.actuator_trntype[u]} (joint only for now)"
+      )
+    j = int(tp.actuator_trnid[u, 0])
+    if int(tp.jnt_type[j]) not in (_HINGE, _SLIDE):
+      raise NotImplementedError("free/ball joint actuators")
+  jids = tp.actuator_trnid[:, 0]
+  return tp.jnt_qposadr[jids], tp.jnt_dofadr[jids]
+
+
 def transmission(tp: Topology, m: Model, d: Data) -> tuple[jax.Array, jax.Array]:
   """actuator_length and the (nu, nv) moment matrix (joint transmission)."""
   dtype = d.qpos.dtype
   if tp.nu == 0:
     return jnp.zeros(0, dtype=dtype), jnp.zeros((0, tp.nv), dtype=dtype)
-  lengths = []
+  qadr, dadr = _trn_tables(tp)
+  gear0 = m.actuator_gear[:, 0]
+  length = gear0 * d.qpos[qadr]
   moment = jnp.zeros((tp.nu, tp.nv), dtype=dtype)
-  for u in range(tp.nu):
-    trntype = int(tp.actuator_trntype[u])
-    if trntype != mujoco.mjtTrn.mjTRN_JOINT:
-      raise NotImplementedError(f"actuator transmission {trntype}")
-    j = int(tp.actuator_trnid[u, 0])
-    jtype = int(tp.jnt_type[j])
-    qadr, dadr = int(tp.jnt_qposadr[j]), int(tp.jnt_dofadr[j])
-    gear0 = m.actuator_gear[u, 0]
-    if jtype in (_HINGE, _SLIDE):
-      lengths.append(gear0 * d.qpos[qadr])
-      moment = moment.at[u, dadr].set(gear0)
-    else:
-      raise NotImplementedError("free/ball joint actuators")
-  return jnp.stack(lengths), moment
+  moment = moment.at[np.arange(tp.nu), dadr].set(gear0)
+  return length, moment
 
 
 def fwd_actuation(tp: Topology, m: Model, d: Data) -> Data:
@@ -306,12 +342,13 @@ def fwd_actuation(tp: Topology, m: Model, d: Data) -> Data:
   if tp.nu == 0:
     return d.replace(qfrc_actuator=jnp.zeros(tp.nv, dtype=dtype))
   length, moment = transmission(tp, m, d)
-  velocity = moment @ d.qvel
+  _, dadr = _trn_tables(tp)
+  velocity = m.actuator_gear[:, 0] * d.qvel[dadr]
 
   ctrl = d.ctrl
-  limited = tp.actuator_ctrllimited.astype(bool)
+  limited = jnp.asarray(tp.actuator_ctrllimited.astype(bool))
   clamped = jnp.clip(ctrl, m.actuator_ctrlrange[:, 0], m.actuator_ctrlrange[:, 1])
-  ctrl = jnp.where(jnp.asarray(limited), clamped, ctrl)
+  ctrl = jnp.where(limited, clamped, ctrl)
 
   gain = m.actuator_gainprm[:, 0]  # mjGAIN_FIXED
   bias = (
@@ -320,13 +357,14 @@ def fwd_actuation(tp: Topology, m: Model, d: Data) -> Data:
     + m.actuator_biasprm[:, 2] * velocity
   )
   force = gain * ctrl + bias
-  flimited = tp.actuator_forcelimited.astype(bool)
-  fclamped = jnp.clip(
-    force, m.actuator_forcerange[:, 0], m.actuator_forcerange[:, 1]
-  )
-  force = jnp.where(jnp.asarray(flimited), fclamped, force)
+  flimited = jnp.asarray(tp.actuator_forcelimited.astype(bool))
+  fclamped = jnp.clip(force, m.actuator_forcerange[:, 0], m.actuator_forcerange[:, 1])
+  force = jnp.where(flimited, fclamped, force)
 
-  qfrc_actuator = moment.T @ force
+  # Joint transmission: scatter gear-scaled forces onto dofs.
+  qfrc_actuator = jnp.zeros(tp.nv, dtype=dtype).at[dadr].add(
+    m.actuator_gear[:, 0] * force
+  )
   return d.replace(
     actuator_length=length,
     actuator_velocity=velocity,

@@ -111,6 +111,7 @@ class Topology:
   sensor_dim: np.ndarray
 
   # Precomputed masks / helpers.
+  body_levels: tuple[np.ndarray, ...]  # body ids grouped by tree depth (>0)
   dof_ancestor_mask: np.ndarray  # (nv, nv) M[i,j]=1 iff dof j is ancestor-or-self of dof i
   body_subtree_mask: np.ndarray  # (nbody, nbody) M[i,j]=1 iff body j in subtree(i)
   body_dof_mask: np.ndarray  # (nbody, nv) M[i,j]=1 iff dof j actuates an ancestor-or-self of body i

@@ -24,3 +24,9 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: this host is single-core and XLA compiles of
+# robot-scale models take minutes; cache them across test runs.
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_mjlab")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
