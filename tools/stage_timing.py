@@ -17,7 +17,9 @@ import numpy as np
 from mjlab_tpu import physics
 from mjlab_tpu.physics import collision as C
 from mjlab_tpu.physics import constraint as CN
-from mjlab_tpu.physics import forward as F
+import importlib
+
+F = importlib.import_module("mjlab_tpu.physics.forward")
 from mjlab_tpu.physics import kinematics as K
 from mjlab_tpu.physics import smooth as S
 from mjlab_tpu.physics import solver as SV
