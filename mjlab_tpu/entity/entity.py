@@ -311,9 +311,9 @@ class Entity:
     joint_q_adr, joint_v_adr = [], []
     free_joint_q_adr, free_joint_v_adr = [], []
     for joint in self.spec.joints:
-      jnt = model.joint(joint.name)
-      jnt_type = int(jnt.type[0])
-      vadr, qadr = int(jnt.dofadr[0]), int(jnt.qposadr[0])
+      jid = joint.id
+      jnt_type = int(model.jnt_type[jid])
+      vadr, qadr = int(model.jnt_dofadr[jid]), int(model.jnt_qposadr[jid])
       if jnt_type == int(mujoco.mjtJoint.mjJNT_FREE):
         free_joint_v_adr.extend(range(vadr, vadr + 6))
         free_joint_q_adr.extend(range(qadr, qadr + 7))

@@ -1,0 +1,191 @@
+"""Manager-based RL environment — the jitted MDP step.
+
+The reference hot loop (envs/manager_based_rl_env.py:111-152) becomes ONE
+pure function `(state, action, model) → (state', obs, rew, terminated,
+truncated, log)` with in-step masked auto-reset (the reference's
+`reset_env_ids = nonzero()` GPU→CPU sync point disappears). Ordering is
+preserved exactly: decimated physics → terminations → rewards → masked reset
+(+ forward refresh) → command update → interval events → observations.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field as dc_field
+
+import jax
+import jax.numpy as jnp
+
+from mjlab_tpu.envs.manager_based_env import (
+  EnvState,
+  ManagerBasedEnv,
+  ManagerBasedEnvCfg,
+)
+from mjlab_tpu.managers.command_manager import CommandManager, NullCommandManager
+from mjlab_tpu.managers.curriculum_manager import (
+  CurriculumManager,
+  NullCurriculumManager,
+)
+from mjlab_tpu.managers.manager_term_config import (
+  CommandTermCfg,
+  CurriculumTermCfg,
+  RewardTermCfg,
+  TerminationTermCfg,
+)
+from mjlab_tpu.managers.reward_manager import RewardManager
+from mjlab_tpu.managers.termination_manager import TerminationManager
+
+
+@dataclass(kw_only=True)
+class ManagerBasedRlEnvCfg(ManagerBasedEnvCfg):
+  episode_length_s: float
+  rewards: dict[str, RewardTermCfg] = dc_field(default_factory=dict)
+  terminations: dict[str, TerminationTermCfg] = dc_field(default_factory=dict)
+  commands: dict[str, CommandTermCfg] | None = None
+  curriculum: dict[str, CurriculumTermCfg] | None = None
+  is_finite_horizon: bool = False
+
+
+class ManagerBasedRlEnv(ManagerBasedEnv):
+  is_vector_env = True
+  cfg: ManagerBasedRlEnvCfg
+
+  def __init__(self, cfg: ManagerBasedRlEnvCfg, device=None, render_mode=None,
+               **kwargs):
+    self._episode_length = jnp.zeros(cfg.scene.num_envs, dtype=jnp.int32)
+    self._common_step_counter = jnp.zeros((), dtype=jnp.int32)
+    self.render_mode = render_mode
+    super().__init__(cfg=cfg, device=device)
+
+    self.state: EnvState = self._pack_state()
+    self._compile_step()
+
+  # -- properties ---------------------------------------------------------------
+
+  @property
+  def max_episode_length_s(self) -> float:
+    return self.cfg.episode_length_s
+
+  @property
+  def max_episode_length(self) -> int:
+    return math.ceil(self.max_episode_length_s / self.step_dt)
+
+  # -- managers ----------------------------------------------------------------
+
+  def load_managers(self) -> None:
+    if self.cfg.commands is not None:
+      self.command_manager = CommandManager(self.cfg.commands, self)
+    else:
+      self.command_manager = NullCommandManager()
+    super().load_managers()
+    self.termination_manager = TerminationManager(self.cfg.terminations, self)
+    self.reward_manager = RewardManager(self.cfg.rewards, self)
+    if self.cfg.curriculum is not None:
+      self.curriculum_manager = CurriculumManager(self.cfg.curriculum, self)
+    else:
+      self.curriculum_manager = NullCurriculumManager()
+
+  # -- pure step ----------------------------------------------------------------
+
+  def _step_impl(self, state: EnvState, action: jax.Array):
+    self._begin(state)
+
+    self.action_manager.process_action(action)
+
+    for _ in range(self.cfg.decimation):
+      self.action_manager.apply_action()
+      self.scene.write_data_to_sim()
+      self._data = self._step_physics(self.model, self._data)
+      self.scene.update(dt=self.physics_dt)
+
+    self._episode_length = self._episode_length + 1
+    self._common_step_counter = self._common_step_counter + 1
+
+    reset_buf = self.termination_manager.compute()
+    terminated = self.termination_manager.terminated
+    time_outs = self.termination_manager.time_outs
+
+    reward_buf = self.reward_manager.compute(dt=self.step_dt)
+
+    # Masked in-step auto-reset (reference resets after reward computation,
+    # manager_based_rl_env.py:126-137 — ordering preserved).
+    log = self._reset_masked(reset_buf)
+    self._data = jax.lax.cond(
+      jnp.any(reset_buf),
+      lambda d: self._forward_physics(self.model, d),
+      lambda d: d,
+      self._data,
+    )
+
+    self.command_manager.compute(dt=self.step_dt)
+
+    if "interval" in self.event_manager.available_modes:
+      self.event_manager.apply(mode="interval", dt=self.step_dt)
+
+    obs_buf = self.observation_manager.compute(update_history=True)
+
+    log["reset_count"] = jnp.sum(reset_buf.astype(jnp.int32))
+    new_state = self._pack_state()
+    return new_state, (obs_buf, reward_buf, terminated, time_outs, log)
+
+  def _reset_masked(self, mask: jax.Array) -> dict:
+    """Reset masked envs in-trace (reference _reset_idx ordering,
+    manager_based_rl_env.py:210-245)."""
+    self.curriculum_manager.compute(env_mask=mask)
+    self.scene.reset(mask)
+    if "reset" in self.event_manager.available_modes:
+      self.event_manager.apply(
+        mode="reset", env_mask=mask,
+        global_env_step_count=self._common_step_counter,
+      )
+    log: dict = {}
+    log.update(self.observation_manager.reset(mask))
+    log.update(self.action_manager.reset(mask))
+    # Mean episode length of resetting envs (×dt on host).
+    log["Episode_Length"] = jnp.sum(
+      jnp.where(mask, self._episode_length, 0)
+    ).astype(self.dtype)
+    log.update(self.reward_manager.reset(mask))
+    log.update(self.curriculum_manager.reset(mask))
+    log.update(self.command_manager.reset(mask))
+    log.update(self.event_manager.reset(mask))
+    log.update(self.termination_manager.reset(mask))
+    self._episode_length = jnp.where(mask, 0, self._episode_length)
+    return log
+
+  def _reset_impl(self, state: EnvState):
+    self._begin(state)
+    mask = jnp.ones(self.num_envs, dtype=bool)
+    self._reset_masked(mask)
+    self._data = self._forward_physics(self.model, self._data)
+    self.command_manager.compute(dt=self.step_dt)
+    obs_buf = self.observation_manager.compute(update_history=True)
+    return self._pack_state(), obs_buf
+
+  def _compile_step(self) -> None:
+    self._jit_step = jax.jit(
+      lambda s, a: self._step_impl(s, a), donate_argnums=(0,)
+    )
+    self._jit_reset = jax.jit(lambda s: self._reset_impl(s))
+
+  # -- host API -------------------------------------------------------------------
+
+  def step(self, action: jax.Array):
+    self.state, (obs, rew, terminated, time_outs, log) = self._jit_step(
+      self.state, action
+    )
+    self.extras = {"log": log, "time_outs": time_outs}
+    return obs, rew, terminated, time_outs, self.extras
+
+  def reset(self, seed: int | None = None, options=None):
+    if seed is not None:
+      self.state = self.state.replace(rng=jax.random.key(seed))
+    self.state, obs = self._jit_reset(self.state)
+    self.extras = {}
+    return obs, self.extras
+
+  def render(self):
+    return None
+
+  def close(self) -> None:
+    pass

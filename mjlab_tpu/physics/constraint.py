@@ -135,6 +135,40 @@ def contact_slot_row_adr(tp: Topology, cone: int) -> np.ndarray:
   return nf + nl + st.slot_row_adr
 
 
+def contact_forces(tp: Topology, m: Model, d: Data) -> jax.Array:
+  """Per-slot contact force in the contact frame [normal, t1, t2] — (C, 3).
+
+  Pyramidal decoding (the inverse of the facet construction above):
+  normal = Σ λ_k, tangent_i = μ_i (λ_{i+} − λ_{i−}). Equivalent of
+  mj_contactForce for the engine's static slots.
+  """
+  st = slot_tables(tp, m.opt.cone)
+  C = len(st.condim)
+  dtype = d.qpos.dtype
+  if C == 0:
+    return jnp.zeros((0, 3), dtype=dtype)
+  adr = contact_slot_row_adr(tp, m.opt.cone)
+  out = jnp.zeros((C, 3), dtype=dtype)
+  for cd in sorted(set(st.condim.tolist())):
+    idx = np.nonzero(st.condim == cd)[0]
+    a = adr[idx]
+    if cd == 1:
+      normal = d.efc_force[a]
+      f = jnp.stack([normal, jnp.zeros_like(normal), jnp.zeros_like(normal)], -1)
+    else:
+      lam = d.efc_force[a[:, None] + np.arange(2 * (cd - 1))[None]]  # (n, 2(cd-1))
+      normal = jnp.sum(lam, axis=-1)
+      tangents = []
+      for f_i in range(1, cd):
+        mu = d.contact.friction[idx, f_i - 1]
+        tangents.append(mu * (lam[:, 2 * (f_i - 1)] - lam[:, 2 * (f_i - 1) + 1]))
+      while len(tangents) < 2:
+        tangents.append(jnp.zeros_like(normal))
+      f = jnp.stack([normal, tangents[0], tangents[1]], -1)
+    out = out.at[idx].set(f)
+  return out
+
+
 # ---------------------------------------------------------------------------
 # Assembly.
 # ---------------------------------------------------------------------------
