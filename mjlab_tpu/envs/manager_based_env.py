@@ -61,6 +61,7 @@ class ManagerBasedEnv:
     self.cfg = cfg
     self.device = device
     self._sim_step_counter = 0
+    self.step_log: dict = {}
 
     self.scene = Scene(cfg.scene)
     self.sim = Simulation(
@@ -183,6 +184,10 @@ class ManagerBasedEnv:
     )
 
   def _begin(self, state: EnvState) -> None:
+    # Per-step metric sink: terms write env.step_log["Metrics/..."] = scalar
+    # (the functional analog of the reference's env.extras["log"] writes from
+    # inside reward terms, e.g. tasks/velocity/mdp/rewards.py:143).
+    self.step_log: dict = {}
     self._data = state.data
     self._model = state.model
     self._rng = state.rng

@@ -13,6 +13,7 @@ from __future__ import annotations
 import math
 from dataclasses import dataclass, field as dc_field
 
+import gymnasium as gym
 import jax
 import jax.numpy as jnp
 
@@ -46,8 +47,9 @@ class ManagerBasedRlEnvCfg(ManagerBasedEnvCfg):
   is_finite_horizon: bool = False
 
 
-class ManagerBasedRlEnv(ManagerBasedEnv):
+class ManagerBasedRlEnv(ManagerBasedEnv, gym.Env):
   is_vector_env = True
+  metadata = {"render_modes": [None, "rgb_array"], "render_fps": 50}
   cfg: ManagerBasedRlEnvCfg
 
   def __init__(self, cfg: ManagerBasedRlEnvCfg, device=None, render_mode=None,
@@ -57,8 +59,30 @@ class ManagerBasedRlEnv(ManagerBasedEnv):
     self.render_mode = render_mode
     super().__init__(cfg=cfg, device=device)
 
+    self._configure_gym_env_spaces()
     self.state: EnvState = self._pack_state()
     self._compile_step()
+
+  def _configure_gym_env_spaces(self) -> None:
+    """Gym spaces from manager dims (reference manager_based_rl_env.py:178-208)."""
+    import numpy as np
+
+    obs_space = {}
+    for group, dim in self.observation_manager.group_obs_dim.items():
+      obs_space[group] = gym.spaces.Box(
+        low=-np.inf, high=np.inf, shape=tuple(dim)
+      )
+    self.single_observation_space = gym.spaces.Dict(obs_space)
+    act_dim = self.action_manager.total_action_dim
+    self.single_action_space = gym.spaces.Box(
+      low=-np.inf, high=np.inf, shape=(act_dim,)
+    )
+    self.observation_space = gym.vector.utils.batch_space(
+      self.single_observation_space, self.num_envs
+    )
+    self.action_space = gym.vector.utils.batch_space(
+      self.single_action_space, self.num_envs
+    )
 
   # -- properties ---------------------------------------------------------------
 
@@ -124,6 +148,7 @@ class ManagerBasedRlEnv(ManagerBasedEnv):
 
     obs_buf = self.observation_manager.compute(update_history=True)
 
+    log.update(self.step_log)
     log["reset_count"] = jnp.sum(reset_buf.astype(jnp.int32))
     new_state = self._pack_state()
     return new_state, (obs_buf, reward_buf, terminated, time_outs, log)
@@ -174,6 +199,10 @@ class ManagerBasedRlEnv(ManagerBasedEnv):
     self.state, (obs, rew, terminated, time_outs, log) = self._jit_step(
       self.state, action
     )
+    # Re-bind the host-side context to the concrete output state so manager
+    # reads (get_command, sensor data, debug_vis) see real arrays, not the
+    # tracers left over from the jit trace.
+    self._begin(self.state)
     self.extras = {"log": log, "time_outs": time_outs}
     return obs, rew, terminated, time_outs, self.extras
 
@@ -181,6 +210,7 @@ class ManagerBasedRlEnv(ManagerBasedEnv):
     if seed is not None:
       self.state = self.state.replace(rng=jax.random.key(seed))
     self.state, obs = self._jit_reset(self.state)
+    self._begin(self.state)
     self.extras = {}
     return obs, self.extras
 

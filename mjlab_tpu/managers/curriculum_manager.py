@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from mjlab_tpu.managers.manager_base import ManagerBase
+from mjlab_tpu.managers.manager_base import ManagerBase, ManagerTermBase
 from mjlab_tpu.managers.manager_term_config import CurriculumTermCfg
 
 
@@ -28,6 +28,9 @@ class CurriculumManager(ManagerBase):
       if term_cfg is None:
         continue
       self._resolve_common_term_cfg(name, term_cfg)
+      if isinstance(term_cfg.func, ManagerTermBase):
+        term_cfg.func.NS = self.NS
+        term_cfg.func._term_name = name
       self._term_names.append(name)
       self._term_cfgs.append(term_cfg)
 
@@ -36,19 +39,31 @@ class CurriculumManager(ManagerBase):
     return list(self._term_names)
 
   def init_state(self) -> dict:
-    return {"values": {n: jnp.zeros((), dtype=self._env.dtype)
-                       for n in self._term_names}}
+    values: dict = {}
+    for name, cfg in zip(self._term_names, self._term_cfgs):
+      # Class terms with multi-metric output pre-declare keys so the state
+      # pytree structure is stable under jit (no mid-training retraces).
+      keys = getattr(cfg.func, "metric_keys", None)
+      if keys:
+        for k in keys:
+          values[f"{name}/{k}"] = jnp.zeros((), dtype=self._env.dtype)
+      else:
+        values[name] = jnp.zeros((), dtype=self._env.dtype)
+    return {"values": values}
 
   def compute(self, env_mask=None) -> None:
     ns = self._env.ns(self.NS)
     for name, cfg in zip(self._term_names, self._term_cfgs):
       value = cfg.func(self._env, env_mask, **cfg.params)
-      if value is not None:
+      if isinstance(value, dict):
+        for k, v in value.items():
+          ns["values"][f"{name}/{k}"] = jnp.asarray(v, dtype=self._env.dtype)
+      elif value is not None:
         ns["values"][name] = jnp.asarray(value, dtype=self._env.dtype)
 
   def reset(self, env_mask=None) -> dict:
     ns = self._env.ns(self.NS)
-    return {f"Curriculum/{n}": ns["values"][n] for n in self._term_names}
+    return {f"Curriculum/{k}": v for k, v in ns["values"].items()}
 
 
 class NullCurriculumManager:

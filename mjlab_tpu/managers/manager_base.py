@@ -21,9 +21,17 @@ if TYPE_CHECKING:
 class ManagerTermBase:
   """Base for class-based terms (stateful terms implement init_state/reset)."""
 
+  NS: str | None = None  # manager namespace; set by the owning manager
+
   def __init__(self, cfg: Any, env: "ManagerBasedEnv"):
     self.cfg = cfg
     self._env = env
+    self._term_name: str | None = None
+
+  @property
+  def state(self) -> dict:
+    """Per-term pytree state (allocated from init_state by the manager)."""
+    return self._env.ns(self.NS)["term_state"][self._term_name]
 
   @property
   def num_envs(self) -> int:

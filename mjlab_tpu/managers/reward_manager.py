@@ -30,6 +30,9 @@ class RewardManager(ManagerBase):
       self._resolve_common_term_cfg(name, term_cfg)
       if term_cfg.weight == 0.0:
         continue
+      if isinstance(term_cfg.func, ManagerTermBase):
+        term_cfg.func.NS = self.NS
+        term_cfg.func._term_name = name
       self._term_names.append(name)
       self._term_cfgs.append(term_cfg)
 
@@ -42,17 +45,27 @@ class RewardManager(ManagerBase):
 
   def init_state(self) -> dict:
     B = self.num_envs
+    term_state = {}
+    for name, cfg in zip(self._term_names, self._term_cfgs):
+      if isinstance(cfg.func, ManagerTermBase):
+        term_state[name] = cfg.func.init_state()
     return {
       "episode_sums": {
         n: jnp.zeros(B, dtype=self._env.dtype) for n in self._term_names
-      }
+      },
+      # Weights as state so reward_weight curriculum can stage them in-trace.
+      "weights": {
+        n: jnp.asarray(c.weight, dtype=self._env.dtype)
+        for n, c in zip(self._term_names, self._term_cfgs)
+      },
+      "term_state": term_state,
     }
 
   def compute(self, dt: float):
     ns = self._env.ns(self.NS)
     total = jnp.zeros(self.num_envs, dtype=self._env.dtype)
     for name, cfg in zip(self._term_names, self._term_cfgs):
-      value = cfg.func(self._env, **cfg.params) * cfg.weight * dt
+      value = cfg.func(self._env, **cfg.params) * ns["weights"][name] * dt
       total = total + value
       ns["episode_sums"][name] = ns["episode_sums"][name] + value
     return total
@@ -62,6 +75,9 @@ class RewardManager(ManagerBase):
     resetting envs) for logging."""
     ns = self._env.ns(self.NS)
     log = {}
+    for name, cfg in zip(self._term_names, self._term_cfgs):
+      if isinstance(cfg.func, ManagerTermBase):
+        cfg.func.reset(env_mask)
     for name in self._term_names:
       sums = ns["episode_sums"][name]
       if env_mask is None:

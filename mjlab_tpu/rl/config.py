@@ -1,0 +1,70 @@
+"""RL configuration dataclasses.
+
+Mirrors the reference's typed config surface over rsl_rl
+(rl/config.py:8-110): actor-critic architecture, PPO hyperparameters, and
+on-policy runner settings — consumed by the JAX PPO learner in
+mjlab_tpu.rl.ppo instead of an external torch trainer.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Literal
+
+
+@dataclass
+class PpoActorCriticCfg:
+  init_noise_std: float = 1.0
+  noise_std_type: Literal["scalar", "log"] = "scalar"
+  actor_obs_normalization: bool = False
+  critic_obs_normalization: bool = False
+  actor_hidden_dims: tuple[int, ...] = (256, 256, 128)
+  critic_hidden_dims: tuple[int, ...] = (256, 256, 128)
+  activation: str = "elu"
+
+  class_name: str = "ActorCritic"
+
+
+@dataclass
+class PpoAlgorithmCfg:
+  num_learning_epochs: int = 5
+  num_mini_batches: int = 4
+  learning_rate: float = 1e-3
+  schedule: Literal["adaptive", "fixed"] = "adaptive"
+  gamma: float = 0.99
+  lam: float = 0.95
+  entropy_coef: float = 0.01
+  desired_kl: float = 0.01
+  max_grad_norm: float = 1.0
+  value_loss_coef: float = 1.0
+  use_clipped_value_loss: bool = True
+  clip_param: float = 0.2
+  normalize_advantage_per_mini_batch: bool = False
+
+  class_name: str = "PPO"
+
+
+@dataclass
+class RlOnPolicyRunnerCfg:
+  seed: int = 42
+  device: str = "tpu"
+  num_steps_per_env: int = 24
+  max_iterations: int = 30_000
+  empirical_normalization: bool = False
+  policy: PpoActorCriticCfg = field(default_factory=PpoActorCriticCfg)
+  algorithm: PpoAlgorithmCfg = field(default_factory=PpoAlgorithmCfg)
+  save_interval: int = 50
+  experiment_name: str = "experiment"
+  run_name: str = ""
+  logger: Literal["tensorboard", "wandb"] = "tensorboard"
+  wandb_project: str = "mjlab_tpu"
+  resume: bool = False
+  load_run: str = ".*"
+  load_checkpoint: str = "model_.*.pt"
+  clip_actions: float | None = None
+
+
+# Reference-parity aliases (reference rl/config.py names).
+RslRlPpoActorCriticCfg = PpoActorCriticCfg
+RslRlPpoAlgorithmCfg = PpoAlgorithmCfg
+RslRlOnPolicyRunnerCfg = RlOnPolicyRunnerCfg

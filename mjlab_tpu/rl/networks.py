@@ -1,0 +1,128 @@
+"""Actor-critic networks and empirical observation normalization.
+
+Pure-JAX equivalents of the rsl_rl modules the reference trains with
+(reference rl/config.py:8-28 documents the surface: MLP actor + MLP critic,
+state-independent learned action noise, optional empirical obs
+normalization). Parameters and normalizer statistics are plain pytrees.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from flax import struct
+
+_ACTIVATIONS = {
+  "elu": nn.elu,
+  "relu": nn.relu,
+  "tanh": jnp.tanh,
+  "gelu": nn.gelu,
+  "selu": nn.selu,
+  "swish": nn.swish,
+}
+
+
+class MLP(nn.Module):
+  hidden_dims: Sequence[int]
+  out_dim: int
+  activation: str = "elu"
+
+  @nn.compact
+  def __call__(self, x):
+    act = _ACTIVATIONS[self.activation]
+    for h in self.hidden_dims:
+      x = act(nn.Dense(h)(x))
+    return nn.Dense(self.out_dim)(x)
+
+
+class ActorCritic(nn.Module):
+  """MLP actor + MLP critic with learned state-independent log-std."""
+
+  num_actions: int
+  actor_hidden_dims: Sequence[int] = (256, 256, 128)
+  critic_hidden_dims: Sequence[int] = (256, 256, 128)
+  activation: str = "elu"
+  init_noise_std: float = 1.0
+  noise_std_type: str = "scalar"  # "scalar" | "log"
+
+  def setup(self):
+    self.actor = MLP(self.actor_hidden_dims, self.num_actions, self.activation)
+    self.critic = MLP(self.critic_hidden_dims, 1, self.activation)
+    if self.noise_std_type == "scalar":
+      self.std_param = self.param(
+        "std", lambda k: jnp.full((self.num_actions,), self.init_noise_std)
+      )
+    else:
+      self.std_param = self.param(
+        "log_std",
+        lambda k: jnp.full((self.num_actions,), jnp.log(self.init_noise_std)),
+      )
+
+  def _std(self):
+    if self.noise_std_type == "scalar":
+      return jnp.clip(self.std_param, a_min=1e-6)
+    return jnp.exp(self.std_param)
+
+  def __call__(self, actor_obs, critic_obs):
+    return self.actor(actor_obs), self._std(), self.value(critic_obs)
+
+  def act_mean(self, actor_obs):
+    return self.actor(actor_obs)
+
+  def distribution(self, actor_obs):
+    mean = self.actor(actor_obs)
+    return mean, jnp.broadcast_to(self._std(), mean.shape)
+
+  def value(self, critic_obs):
+    return jnp.squeeze(self.critic(critic_obs), axis=-1)
+
+
+def gaussian_log_prob(mean, std, action):
+  """Diagonal Gaussian log-density, summed over action dims."""
+  var = jnp.square(std)
+  lp = -0.5 * (jnp.square(action - mean) / var + jnp.log(2 * jnp.pi * var))
+  return jnp.sum(lp, axis=-1)
+
+
+def gaussian_entropy(std):
+  return jnp.sum(0.5 * (1.0 + jnp.log(2 * jnp.pi)) + jnp.log(std), axis=-1)
+
+
+@struct.dataclass
+class RunningNorm:
+  """Empirical mean/var normalizer (rsl_rl EmpiricalNormalization semantics:
+  batch-averaged running statistics, update only during training)."""
+
+  mean: jax.Array
+  var: jax.Array
+  count: jax.Array
+
+  @classmethod
+  def create(cls, dim: int, dtype=jnp.float32) -> "RunningNorm":
+    return cls(
+      mean=jnp.zeros(dim, dtype=dtype),
+      var=jnp.ones(dim, dtype=dtype),
+      count=jnp.zeros((), dtype=dtype),
+    )
+
+  def update(self, batch: jax.Array) -> "RunningNorm":
+    """Welford-style batched update over all leading axes."""
+    x = batch.reshape(-1, batch.shape[-1])
+    n = jnp.asarray(x.shape[0], dtype=self.count.dtype)
+    new_count = self.count + n
+    delta = jnp.mean(x, axis=0) - self.mean
+    new_mean = self.mean + delta * n / new_count
+    m_a = self.var * self.count
+    m_b = jnp.var(x, axis=0) * n
+    m2 = m_a + m_b + jnp.square(delta) * self.count * n / new_count
+    return RunningNorm(mean=new_mean, var=m2 / new_count, count=new_count)
+
+  def __call__(self, x: jax.Array) -> jax.Array:
+    return (x - self.mean) / jnp.sqrt(self.var + 1e-8)
+
+
+def identity_norm(dim: int, dtype=jnp.float32) -> RunningNorm:
+  return RunningNorm.create(dim, dtype)

@@ -1,0 +1,276 @@
+"""On-policy runner: fused rollout + PPO update as one XLA program.
+
+The reference delegates training to rsl_rl's OnPolicyRunner (torch, host
+rollout loop, reference tasks/velocity/rl/runner.py:13). Here the entire
+training iteration — num_steps_per_env env steps (physics + managers), GAE,
+and all PPO epochs/minibatches — is a single jitted function over the env's
+pure step (`lax.scan`), so a TPU executes one program per iteration with no
+host round-trips.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from mjlab_tpu.rl.config import RlOnPolicyRunnerCfg
+from mjlab_tpu.rl.networks import (
+  ActorCritic,
+  RunningNorm,
+  gaussian_log_prob,
+)
+from mjlab_tpu.rl.ppo import PpoTrainState, Transition, make_optimizer, ppo_update
+
+
+@struct.dataclass
+class RunnerState:
+  env_state: Any
+  obs: Any  # dict of group observations (current)
+  train: PpoTrainState
+  actor_norm: RunningNorm
+  critic_norm: RunningNorm
+  rng: jax.Array
+
+
+class OnPolicyRunner:
+  """JAX PPO runner over a ManagerBasedRlEnv."""
+
+  def __init__(self, env, cfg: RlOnPolicyRunnerCfg, log_dir: str | None = None):
+    self.env = env
+    self.cfg = cfg
+    self.log_dir = log_dir
+    self.iteration = 0
+
+    obs_dims = env.observation_manager.group_obs_dim
+    self.num_actor_obs = int(obs_dims["policy"][-1])
+    critic_group = "critic" if "critic" in obs_dims else "policy"
+    self.critic_group = critic_group
+    self.num_critic_obs = int(obs_dims[critic_group][-1])
+    self.num_actions = env.action_manager.total_action_dim
+
+    p = cfg.policy
+    self.ac = ActorCritic(
+      num_actions=self.num_actions,
+      actor_hidden_dims=tuple(p.actor_hidden_dims),
+      critic_hidden_dims=tuple(p.critic_hidden_dims),
+      activation=p.activation,
+      init_noise_std=p.init_noise_std,
+      noise_std_type=p.noise_std_type,
+    )
+    key = jax.random.key(cfg.seed)
+    key, pkey = jax.random.split(key)
+    params = self.ac.init(
+      pkey,
+      jnp.zeros((1, self.num_actor_obs)),
+      jnp.zeros((1, self.num_critic_obs)),
+    )
+    self.optimizer = make_optimizer(cfg.algorithm)
+    opt_state = self.optimizer.init(params)
+
+    obs, _ = env.reset(seed=cfg.seed)
+    self.state = RunnerState(
+      env_state=env.state,
+      obs=obs,
+      train=PpoTrainState(
+        params=params,
+        opt_state=opt_state,
+        lr=jnp.asarray(cfg.algorithm.learning_rate, dtype=jnp.float32),
+        rng=key,
+      ),
+      actor_norm=RunningNorm.create(self.num_actor_obs),
+      critic_norm=RunningNorm.create(self.num_critic_obs),
+      rng=key,
+    )
+    self._train_iter = jax.jit(self._train_iteration, donate_argnums=(0,))
+    self._writer = None
+
+  # -- fused training iteration ------------------------------------------------
+
+  def _policy_apply(self, params, actor_obs, critic_obs):
+    return self.ac.apply(params, actor_obs, critic_obs)
+
+  def _train_iteration(self, state: RunnerState):
+    cfg = self.cfg
+    ac_apply = self._policy_apply
+
+    def rollout_step(carry, key):
+      env_state, obs, params, a_norm, c_norm = carry
+      a_obs = a_norm(obs["policy"].astype(jnp.float32))
+      c_obs = c_norm(obs[self.critic_group].astype(jnp.float32))
+      mean, std, value = ac_apply(params, a_obs, c_obs)
+      action = mean + std * jax.random.normal(key, mean.shape, dtype=mean.dtype)
+      log_prob = gaussian_log_prob(mean, std, action)
+      act = action
+      if cfg.clip_actions is not None:
+        act = jnp.clip(act, -cfg.clip_actions, cfg.clip_actions)
+      env_state, (next_obs, rew, terminated, time_outs, log) = self.env._step_impl(
+        env_state, act.astype(self.env.dtype)
+      )
+      done = terminated | time_outs
+      tr = Transition(
+        actor_obs=a_obs,
+        critic_obs=c_obs,
+        action=action,
+        reward=rew.astype(jnp.float32),
+        done=done,
+        time_out=time_outs.astype(jnp.float32),
+        value=value,
+        log_prob=log_prob,
+        mean=mean,
+        std=std,
+      )
+      extra = {
+        "reward_mean": jnp.mean(rew),
+        "reset_count": log["reset_count"],
+        "episode_length_sum": log["Episode_Length"],
+        "log": log,
+      }
+      return (env_state, next_obs, params, a_norm, c_norm), (tr, extra)
+
+    rng, scan_key = jax.random.split(state.rng)
+    keys = jax.random.split(scan_key, cfg.num_steps_per_env)
+    carry = (
+      state.env_state,
+      state.obs,
+      state.train.params,
+      state.actor_norm,
+      state.critic_norm,
+    )
+    carry, (batch, extras) = jax.lax.scan(rollout_step, carry, keys)
+    env_state, obs, params, a_norm, c_norm = carry
+
+    # Bootstrap value for the final state.
+    last_c_obs = c_norm(obs[self.critic_group].astype(jnp.float32))
+    last_value = self.ac.apply(params, last_c_obs, method=ActorCritic.value)
+
+    train, ppo_metrics = ppo_update(
+      cfg.algorithm, ac_apply, self.optimizer, state.train, batch, last_value
+    )
+
+    # Update normalizer statistics once per iteration (frozen during rollout
+    # so acting and learning see identically-normalized observations).
+    if cfg.policy.actor_obs_normalization:
+      a_norm = a_norm.update(batch.actor_obs)
+    if cfg.policy.critic_obs_normalization:
+      c_norm = c_norm.update(batch.critic_obs)
+
+    resets = jnp.sum(extras["reset_count"])
+    metrics = {
+      **{f"Loss/{k}": v for k, v in ppo_metrics.items()},
+      "Train/mean_step_reward": jnp.mean(extras["reward_mean"]),
+      "Train/resets": resets,
+      "Train/mean_episode_length": jnp.sum(extras["episode_length_sum"])
+      / jnp.clip(resets.astype(jnp.float32), a_min=1.0),
+      "Policy/noise_std": jnp.mean(
+        train.params["params"]["std_param"]
+        if "std_param" in train.params["params"]
+        else 0.0
+      ),
+    }
+    # Episodic manager logs, averaged over the rollout window.
+    for k, v in extras["log"].items():
+      if k.startswith(("Episode_Reward/", "Episode_Termination/", "Metrics/",
+                       "Curriculum/")):
+        metrics[k] = jnp.mean(v)
+
+    new_state = RunnerState(
+      env_state=env_state,
+      obs=obs,
+      train=train,
+      actor_norm=a_norm,
+      critic_norm=c_norm,
+      rng=rng,
+    )
+    return new_state, metrics
+
+  # -- host API ------------------------------------------------------------------
+
+  def learn(self, num_iterations: int, log_interval: int = 10):
+    steps_per_iter = self.cfg.num_steps_per_env * self.env.num_envs
+    for _ in range(num_iterations):
+      t0 = time.perf_counter()
+      self.state, metrics = self._train_iter(self.state)
+      if self.iteration % log_interval == 0:
+        jax.block_until_ready(self.state.train.params)
+        dt = time.perf_counter() - t0
+        host = {k: float(np.asarray(v)) for k, v in metrics.items()}
+        fps = steps_per_iter / dt
+        print(
+          f"it {self.iteration:6d} | {fps:9.0f} steps/s | "
+          f"rew {host['Train/mean_step_reward']:.4f} | "
+          f"len {host['Train/mean_episode_length']:.1f} | "
+          f"kl {host['Loss/kl']:.4f} | lr {host['Loss/lr']:.2e}",
+          flush=True,
+        )
+        self._log_metrics(host)
+      if (
+        self.log_dir is not None
+        and self.cfg.save_interval > 0
+        and self.iteration % self.cfg.save_interval == 0
+      ):
+        self.save(os.path.join(self.log_dir, f"model_{self.iteration}"))
+      self.iteration += 1
+    return self.state
+
+  def _log_metrics(self, host_metrics: dict) -> None:
+    if self.log_dir is None:
+      return
+    if self._writer is None:
+      try:
+        from torch.utils.tensorboard import SummaryWriter
+
+        self._writer = SummaryWriter(self.log_dir)
+      except Exception:
+        self._writer = False
+    if self._writer:
+      for k, v in host_metrics.items():
+        self._writer.add_scalar(k, v, self.iteration)
+
+  # -- inference / persistence ----------------------------------------------------
+
+  def get_inference_policy(self):
+    params = self.state.train.params
+    a_norm = self.state.actor_norm
+
+    @jax.jit
+    def policy(obs):
+      a_obs = a_norm(obs["policy"].astype(jnp.float32))
+      return self.ac.apply(params, a_obs, method=ActorCritic.act_mean)
+
+    return policy
+
+  def save(self, path: str) -> None:
+    import pickle
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    payload = {
+      "params": jax.device_get(self.state.train.params),
+      "actor_norm": jax.device_get(self.state.actor_norm),
+      "critic_norm": jax.device_get(self.state.critic_norm),
+      "lr": float(self.state.train.lr),
+      "iteration": self.iteration,
+      "cfg": self.cfg,
+    }
+    with open(path + ".pkl", "wb") as f:
+      pickle.dump(payload, f)
+
+  def load(self, path: str) -> None:
+    import pickle
+
+    with open(path if path.endswith(".pkl") else path + ".pkl", "rb") as f:
+      payload = pickle.load(f)
+    self.state = self.state.replace(
+      train=self.state.train.replace(
+        params=payload["params"],
+        lr=jnp.asarray(payload["lr"]),
+      ),
+      actor_norm=payload["actor_norm"],
+      critic_norm=payload["critic_norm"],
+    )
+    self.iteration = payload["iteration"]

@@ -1,0 +1,78 @@
+"""Training entry point (reference scripts/train.py).
+
+Usage:
+  python -m mjlab_tpu.scripts.train Mjlab-Velocity-Flat-Unitree-G1 \
+      --env.scene.num_envs 4096 --agent.max_iterations 1000
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from dataclasses import asdict
+
+import gymnasium as gym
+
+
+def run_train(task: str, overrides: dict[str, str]) -> None:
+  import jax
+
+  import mjlab_tpu.tasks as tasks
+  from mjlab_tpu.rl.runner import OnPolicyRunner
+  from mjlab_tpu.scripts.cli import apply_overrides
+
+  env_cfg = tasks.load_cfg_from_registry(task, "env_cfg_entry_point")
+  agent_cfg = tasks.load_cfg_from_registry(task, "rl_cfg_entry_point")
+
+  env_over = {k[4:]: v for k, v in overrides.items() if k.startswith("env.")}
+  agent_over = {k[6:]: v for k, v in overrides.items() if k.startswith("agent.")}
+  apply_overrides(env_cfg, env_over)
+  apply_overrides(agent_cfg, agent_over)
+
+  log_root = overrides.get("log_dir", os.path.join("logs", agent_cfg.experiment_name))
+  os.makedirs(log_root, exist_ok=True)
+
+  print(f"[train] task={task} num_envs={env_cfg.scene.num_envs} "
+        f"devices={jax.devices()}", flush=True)
+
+  env = gym.make(task, cfg=env_cfg).unwrapped
+  runner = OnPolicyRunner(env, agent_cfg, log_dir=log_root)
+
+  # Record the resolved config for the run (reference train.py:117-118).
+  try:
+    import yaml
+
+    with open(os.path.join(log_root, "agent_cfg.yaml"), "w") as f:
+      yaml.safe_dump(asdict(agent_cfg), f)
+  except Exception:
+    pass
+
+  if overrides.get("agent.resume", "false").lower() in ("1", "true"):
+    from mjlab_tpu.utils.os import resolve_latest_checkpoint
+
+    ckpt = resolve_latest_checkpoint(log_root)
+    if ckpt:
+      print(f"[train] resuming from {ckpt}", flush=True)
+      runner.load(ckpt)
+
+  runner.learn(agent_cfg.max_iterations)
+  runner.save(os.path.join(log_root, f"model_{runner.iteration}"))
+
+
+def main() -> None:
+  from mjlab_tpu.scripts.cli import parse_args
+
+  positionals, overrides = parse_args(sys.argv[1:])
+  if not positionals:
+    import mjlab_tpu.tasks as tasks
+
+    print("usage: train <Task-ID> [--env.x.y v] [--agent.x v]")
+    print("available tasks:")
+    for t in tasks.list_tasks():
+      print(f"  {t}")
+    sys.exit(1)
+  run_train(positionals[0], overrides)
+
+
+if __name__ == "__main__":
+  main()

@@ -40,7 +40,9 @@ class TerrainImporter:
     self._generator = None
 
     if cfg.terrain_type == "plane":
-      self._spec.worldbody.add_geom(
+      # Plane lives in a body named "terrain" so body/subtree contact
+      # matching works uniformly (reference terrain_importer.py:154-162).
+      self._spec.worldbody.add_body(name="terrain").add_geom(
         name="terrain",
         type=mujoco.mjtGeom.mjGEOM_PLANE,
         size=[0.0, 0.0, 1.0],

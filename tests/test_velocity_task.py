@@ -1,0 +1,63 @@
+"""Velocity task: registry wiring + full Go1 flat env smoke (CPU).
+
+Mirrors the reference's smoke test strategy (tests/smoke_test.py:11-23:
+full Go1 flat env constructed on CPU)."""
+
+import gymnasium as gym
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import mjlab_tpu.tasks as tasks
+
+EXPECTED_TASKS = [
+  "Mjlab-Velocity-Flat-Unitree-G1",
+  "Mjlab-Velocity-Flat-Unitree-Go1",
+  "Mjlab-Velocity-Rough-Unitree-G1",
+  "Mjlab-Velocity-Rough-Unitree-Go1",
+]
+
+
+def test_registry():
+  registered = tasks.list_tasks()
+  for tid in EXPECTED_TASKS:
+    assert tid in registered
+
+
+def test_cfg_loading():
+  cfg = tasks.load_cfg_from_registry(
+    "Mjlab-Velocity-Flat-Unitree-G1", "env_cfg_entry_point"
+  )
+  assert len(cfg.rewards) == 14
+  assert cfg.decimation == 4 and cfg.episode_length_s == 20.0
+  assert cfg.scene.terrain.terrain_type == "plane"
+  rl = tasks.load_cfg_from_registry(
+    "Mjlab-Velocity-Flat-Unitree-G1", "rl_cfg_entry_point"
+  )
+  assert rl.num_steps_per_env == 24
+  assert rl.policy.actor_hidden_dims == (512, 256, 128)
+  # Loading twice must give independent instances.
+  cfg2 = tasks.load_cfg_from_registry(
+    "Mjlab-Velocity-Flat-Unitree-G1", "env_cfg_entry_point"
+  )
+  assert cfg2 is not cfg
+
+
+@pytest.mark.slow
+def test_go1_flat_env_steps():
+  cfg = tasks.load_cfg_from_registry(
+    "Mjlab-Velocity-Flat-Unitree-Go1", "env_cfg_entry_point"
+  )
+  cfg.scene.num_envs = 2
+  env = gym.make("Mjlab-Velocity-Flat-Unitree-Go1", cfg=cfg).unwrapped
+  obs, _ = env.reset(seed=0)
+  assert obs["policy"].shape == (2, 48)
+  assert obs["critic"].shape == (2, 72)
+  action = jnp.zeros((2, env.action_manager.total_action_dim))
+  for _ in range(5):
+    obs, rew, term, trunc, extras = env.step(action)
+  assert np.isfinite(np.asarray(obs["policy"])).all()
+  assert np.isfinite(np.asarray(rew)).all()
+  # Standing on the plane near spawn height, not fallen/exploded.
+  z = np.asarray(env.state.data.qpos[:, 2])
+  assert (z > 0.15).all() and (z < 0.5).all()
