@@ -63,8 +63,7 @@ class OnPolicyRunner:
       init_noise_std=p.init_noise_std,
       noise_std_type=p.noise_std_type,
     )
-    key = jax.random.key(cfg.seed)
-    key, pkey = jax.random.split(key)
+    key, pkey, tkey = jax.random.split(jax.random.key(cfg.seed), 3)
     params = self.ac.init(
       pkey,
       jnp.zeros((1, self.num_actor_obs)),
@@ -81,7 +80,7 @@ class OnPolicyRunner:
         params=params,
         opt_state=opt_state,
         lr=jnp.asarray(cfg.algorithm.learning_rate, dtype=jnp.float32),
-        rng=key,
+        rng=tkey,
       ),
       actor_norm=RunningNorm.create(self.num_actor_obs),
       critic_norm=RunningNorm.create(self.num_critic_obs),
@@ -104,6 +103,7 @@ class OnPolicyRunner:
       a_obs = a_norm(obs["policy"].astype(jnp.float32))
       c_obs = c_norm(obs[self.critic_group].astype(jnp.float32))
       mean, std, value = ac_apply(params, a_obs, c_obs)
+      std = jnp.broadcast_to(std, mean.shape)
       action = mean + std * jax.random.normal(key, mean.shape, dtype=mean.dtype)
       log_prob = gaussian_log_prob(mean, std, action)
       act = action
@@ -216,6 +216,10 @@ class OnPolicyRunner:
       ):
         self.save(os.path.join(self.log_dir, f"model_{self.iteration}"))
       self.iteration += 1
+    # Hand the (donated-through) env state back to the env so host-side use
+    # (reset, viewers, manager reads) sees live buffers.
+    self.env.state = self.state.env_state
+    self.env._begin(self.env.state)
     return self.state
 
   def _log_metrics(self, host_metrics: dict) -> None:
