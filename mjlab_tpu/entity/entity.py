@@ -290,6 +290,9 @@ class Entity:
                                    body_ids=None):
     self._data.write_external_wrench(forces, torques, body_ids, env_mask)
 
+  def write_ctrl_to_sim(self, ctrl, ctrl_ids=None, env_mask=None):
+    self._data.write_ctrl(ctrl, ctrl_ids, env_mask)
+
   def write_mocap_pose_to_sim(self, mocap_pose, env_mask=None):
     self._data.write_mocap_pose(mocap_pose, env_mask)
 

@@ -11,3 +11,9 @@ __all__ = [
   "JointPositionAction",
   "JointPositionActionCfg",
 ]
+from mjlab_tpu.envs.mdp.actions.ankle_ab_action import (  # noqa: E402
+  AnklePrToTendonAction,
+  AnklePrToTendonActionCfg,
+)
+
+__all__ += ["AnklePrToTendonAction", "AnklePrToTendonActionCfg"]

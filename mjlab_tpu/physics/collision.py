@@ -209,6 +209,18 @@ def _capsule_box(p1, m1, s1, p2, m2, s2):
   )
 
 
+def _plane_convex(p1, m1, p2, m2, verts):
+  """Plane vs convex hull: the 4 deepest hull vertices become contacts
+  (MJX-style plane-convex; verts are (V, 3) in the geom frame)."""
+  n = m1[:, 2]
+  world = p2 + verts @ m2.T
+  depth = world @ n - jnp.dot(n, p1)
+  neg, idx = jax.lax.top_k(-depth, 4)
+  dist = -neg
+  pos = world[idx] - n[None, :] * (0.5 * dist)[:, None]
+  return dist, pos, jnp.tile(_normal_frame(n)[None], (4, 1, 1))
+
+
 _DISPATCH = {
   (_G.mjGEOM_PLANE, _G.mjGEOM_SPHERE): _plane_sphere,
   (_G.mjGEOM_PLANE, _G.mjGEOM_CAPSULE): _plane_capsule,
@@ -261,14 +273,32 @@ def collision(tp: Topology, m: Model, d: Data) -> Data:
   fris, refs, imps, margins = [], [], [], []
   for key, group in itertools.groupby(tp.pairs, key=lambda p: (p.type1, p.type2)):
     group = list(group)
-    fn = _DISPATCH[key]
     g1 = np.asarray([p.geom1 for p in group])
     g2 = np.asarray([p.geom2 for p in group])
     k = group[0].ncon
-    dist, pos, frame = jax.vmap(fn)(
-      d.geom_xpos[g1], d.geom_xmat[g1], m.geom_size[g1],
-      d.geom_xpos[g2], d.geom_xmat[g2], m.geom_size[g2],
-    )  # (n, k), (n, k, 3), (n, k, 3, 3)
+    if key == (_G.mjGEOM_PLANE, _G.mjGEOM_MESH):
+      # Hull-vertex arrays padded to the group max (repeat first vertex).
+      vmax = max(tp.geom_hull_verts[g].shape[0] for g in g2)
+      hulls = np.stack(
+        [
+          np.concatenate(
+            [v, np.broadcast_to(v[:1], (vmax - v.shape[0], 3))], axis=0
+          )
+          for g in g2
+          for v in (tp.geom_hull_verts[g],)
+        ]
+      )
+      dist, pos, frame = jax.vmap(_plane_convex)(
+        d.geom_xpos[g1], d.geom_xmat[g1],
+        d.geom_xpos[g2], d.geom_xmat[g2],
+        jnp.asarray(hulls, dtype=d.qpos.dtype),
+      )
+    else:
+      fn = _DISPATCH[key]
+      dist, pos, frame = jax.vmap(fn)(
+        d.geom_xpos[g1], d.geom_xmat[g1], m.geom_size[g1],
+        d.geom_xpos[g2], d.geom_xmat[g2], m.geom_size[g2],
+      )  # (n, k), (n, k, 3), (n, k, 3, 3)
     friction, solref, solimp, inclmargin = _combine_params_vec(tp, m, g1, g2)
     n = len(group)
     dists.append(dist.reshape(n * k))

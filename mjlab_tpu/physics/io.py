@@ -41,7 +41,26 @@ _PAIR_NCON: dict[tuple[int, int], int] = {
   (_G.mjGEOM_CAPSULE, _G.mjGEOM_BOX): 2,
   (_G.mjGEOM_HFIELD, _G.mjGEOM_SPHERE): 4,
   (_G.mjGEOM_HFIELD, _G.mjGEOM_CAPSULE): 4,
+  (_G.mjGEOM_PLANE, _G.mjGEOM_MESH): 4,
 }
+
+
+def _hull_vertices(m: mujoco.MjModel, geom_id: int) -> np.ndarray:
+  """Convex-hull vertices of a mesh geom, in the geom frame.
+
+  Uses the qhull graph MuJoCo precomputes (mesh_graph layout:
+  [numvert, numface, vert_edgeadr, vert_globalid, ...]); falls back to all
+  mesh vertices when no graph is stored."""
+  mesh_id = int(m.geom_dataid[geom_id])
+  vadr, vnum = int(m.mesh_vertadr[mesh_id]), int(m.mesh_vertnum[mesh_id])
+  verts = m.mesh_vert[vadr : vadr + vnum]
+  gadr = int(m.mesh_graphadr[mesh_id])
+  if gadr >= 0:
+    graph = m.mesh_graph[gadr:]
+    numvert = int(graph[0])
+    vert_globalid = graph[2 + numvert : 2 + 2 * numvert]
+    verts = verts[vert_globalid]
+  return np.asarray(verts, dtype=np.float64)
 
 
 def _candidate_pairs(m: mujoco.MjModel) -> list[GeomPair]:
@@ -108,6 +127,42 @@ def _candidate_pairs(m: mujoco.MjModel) -> list[GeomPair]:
   # vectorized narrowphase runs once per geometry-type combination.
   pairs.sort(key=lambda p: (p.type1, p.type2))
   return pairs
+
+
+def _transmission_matrices(m: mujoco.MjModel) -> tuple[np.ndarray, np.ndarray]:
+  """Static (nu, nq) and (nu, nv) transmission matrices.
+
+  Joint transmission: one-hot rows. Fixed-tendon transmission (e.g. the
+  Asimov-toe parallel ankles, asset_zoo asimov_toe.xml tendon section):
+  rows carry the per-joint tendon coefficients — tendon length is linear
+  in qpos so the moment is constant. Spatial tendons are not supported.
+  """
+  qmat = np.zeros((m.nu, m.nq))
+  vmat = np.zeros((m.nu, m.nv))
+  for u in range(m.nu):
+    trntype = int(m.actuator_trntype[u])
+    if trntype == int(mujoco.mjtTrn.mjTRN_JOINT):
+      j = int(m.actuator_trnid[u, 0])
+      if int(m.jnt_type[j]) not in (
+        int(mujoco.mjtJoint.mjJNT_HINGE),
+        int(mujoco.mjtJoint.mjJNT_SLIDE),
+      ):
+        raise NotImplementedError("free/ball joint actuators")
+      qmat[u, m.jnt_qposadr[j]] = 1.0
+      vmat[u, m.jnt_dofadr[j]] = 1.0
+    elif trntype == int(mujoco.mjtTrn.mjTRN_TENDON):
+      t = int(m.actuator_trnid[u, 0])
+      adr, num = int(m.tendon_adr[t]), int(m.tendon_num[t])
+      for w in range(adr, adr + num):
+        if int(m.wrap_type[w]) != int(mujoco.mjtWrap.mjWRAP_JOINT):
+          raise NotImplementedError("spatial tendons (fixed tendons only)")
+        j = int(m.wrap_objid[w])
+        coef = float(m.wrap_prm[w])
+        qmat[u, m.jnt_qposadr[j]] += coef
+        vmat[u, m.jnt_dofadr[j]] += coef
+    else:
+      raise NotImplementedError(f"actuator transmission type {trntype}")
+  return qmat, vmat
 
 
 def _dof_ancestor_mask(m: mujoco.MjModel) -> np.ndarray:
@@ -201,6 +256,15 @@ def put_model(
     + sum(p.ncon * contact_rows(p.condim, cone) for p in pairs)
   )
 
+  trn_qmat, trn_vmat = _transmission_matrices(m)
+
+  geom_hull_verts = {
+    g: _hull_vertices(m, g)
+    for g in {
+      p.geom2 for p in pairs if p.type2 == int(_G.mjGEOM_MESH)
+    } | {p.geom1 for p in pairs if p.type1 == int(_G.mjGEOM_MESH)}
+  }
+
   tp = Topology(
     nq=m.nq,
     nv=m.nv,
@@ -236,9 +300,12 @@ def put_model(
     geom_condim=m.geom_condim.copy(),
     geom_priority=m.geom_priority.copy(),
     geom_dataid=m.geom_dataid.copy(),
+    geom_hull_verts=geom_hull_verts,
     site_bodyid=m.site_bodyid.copy(),
     actuator_trntype=m.actuator_trntype.copy(),
     actuator_trnid=m.actuator_trnid.copy(),
+    trn_qmat=trn_qmat,
+    trn_vmat=trn_vmat,
     actuator_gaintype=m.actuator_gaintype.copy(),
     actuator_biastype=m.actuator_biastype.copy(),
     actuator_ctrllimited=m.actuator_ctrllimited.copy(),

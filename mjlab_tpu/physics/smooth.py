@@ -308,31 +308,19 @@ def passive(tp: Topology, m: Model, d: Data) -> Data:
   )
 
 
-@functools.lru_cache(maxsize=64)
-def _trn_tables(tp: Topology):
-  """Joint-transmission tables; raises on unsupported transmissions."""
-  for u in range(tp.nu):
-    if int(tp.actuator_trntype[u]) != int(mujoco.mjtTrn.mjTRN_JOINT):
-      raise NotImplementedError(
-        f"actuator transmission {tp.actuator_trntype[u]} (joint only for now)"
-      )
-    j = int(tp.actuator_trnid[u, 0])
-    if int(tp.jnt_type[j]) not in (_HINGE, _SLIDE):
-      raise NotImplementedError("free/ball joint actuators")
-  jids = tp.actuator_trnid[:, 0]
-  return tp.jnt_qposadr[jids], tp.jnt_dofadr[jids]
-
-
 def transmission(tp: Topology, m: Model, d: Data) -> tuple[jax.Array, jax.Array]:
-  """actuator_length and the (nu, nv) moment matrix (joint transmission)."""
+  """actuator_length and the (nu, nv) moment matrix.
+
+  Joint and fixed-tendon transmissions share one static-matrix form
+  (tp.trn_qmat/trn_vmat, built in io._transmission_matrices)."""
   dtype = d.qpos.dtype
   if tp.nu == 0:
     return jnp.zeros(0, dtype=dtype), jnp.zeros((0, tp.nv), dtype=dtype)
-  qadr, dadr = _trn_tables(tp)
   gear0 = m.actuator_gear[:, 0]
-  length = gear0 * d.qpos[qadr]
-  moment = jnp.zeros((tp.nu, tp.nv), dtype=dtype)
-  moment = moment.at[np.arange(tp.nu), dadr].set(gear0)
+  qmat = jnp.asarray(tp.trn_qmat, dtype=dtype)
+  vmat = jnp.asarray(tp.trn_vmat, dtype=dtype)
+  length = gear0 * (qmat @ d.qpos)
+  moment = gear0[:, None] * vmat
   return length, moment
 
 
@@ -342,8 +330,7 @@ def fwd_actuation(tp: Topology, m: Model, d: Data) -> Data:
   if tp.nu == 0:
     return d.replace(qfrc_actuator=jnp.zeros(tp.nv, dtype=dtype))
   length, moment = transmission(tp, m, d)
-  _, dadr = _trn_tables(tp)
-  velocity = m.actuator_gear[:, 0] * d.qvel[dadr]
+  velocity = moment @ d.qvel
 
   ctrl = d.ctrl
   limited = jnp.asarray(tp.actuator_ctrllimited.astype(bool))
@@ -361,10 +348,8 @@ def fwd_actuation(tp: Topology, m: Model, d: Data) -> Data:
   fclamped = jnp.clip(force, m.actuator_forcerange[:, 0], m.actuator_forcerange[:, 1])
   force = jnp.where(flimited, fclamped, force)
 
-  # Joint transmission: scatter gear-scaled forces onto dofs.
-  qfrc_actuator = jnp.zeros(tp.nv, dtype=dtype).at[dadr].add(
-    m.actuator_gear[:, 0] * force
-  )
+  # Project actuator forces onto dofs through the moment matrix.
+  qfrc_actuator = moment.T @ force
   return d.replace(
     actuator_length=length,
     actuator_velocity=velocity,

@@ -88,6 +88,8 @@ class Topology:
   geom_condim: np.ndarray
   geom_priority: np.ndarray
   geom_dataid: np.ndarray
+  # Convex-hull vertices (geom frame) for mesh geoms in collision pairs.
+  geom_hull_verts: dict  # {geom_id: (V, 3) np.ndarray}
 
   # Sites.
   site_bodyid: np.ndarray
@@ -95,6 +97,11 @@ class Topology:
   # Actuators (joint/tendon transmissions).
   actuator_trntype: np.ndarray
   actuator_trnid: np.ndarray
+  # Static transmission matrices (gear applied at eval time): length =
+  # gear0 ⊙ (trn_qmat @ qpos), moment = gear0[:, None] ⊙ trn_vmat. Joint
+  # rows are one-hot; fixed-tendon rows carry the tendon joint coefficients.
+  trn_qmat: np.ndarray  # (nu, nq)
+  trn_vmat: np.ndarray  # (nu, nv)
   actuator_gaintype: np.ndarray
   actuator_biastype: np.ndarray
   actuator_ctrllimited: np.ndarray

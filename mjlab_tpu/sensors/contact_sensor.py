@@ -101,14 +101,21 @@ class ContactSensor(Sensor[ContactData]):
       )
       return [mujoco.mj_id2name(mj_model, kind, i) or "" for i in range(n)]
 
+    def scope_one(p: str) -> str:
+      # Keep a leading anchor in front of the entity prefix: "^foot$" must
+      # become "^robot/foot$", not "robot/^foot$".
+      if p.startswith("^"):
+        return f"^{re.escape(match.entity)}/{p[1:]}"
+      return f"{re.escape(match.entity)}/{p}"
+
     def scoped(patterns):
       if match.entity is None:
         return patterns
       pats = patterns if isinstance(patterns, tuple) else (patterns,)
-      return tuple(f"{re.escape(match.entity)}/{p}" for p in pats)
+      return tuple(scope_one(p) for p in pats)
 
     exclude = tuple(
-      f"{re.escape(match.entity)}/{p}" if match.entity else p for p in match.exclude
+      scope_one(p) if match.entity else p for p in match.exclude
     )
 
     if match.mode == "geom":
