@@ -35,6 +35,11 @@ def compute_velocity_from_cvel(pos, subtree_com, cvel):
   return jnp.concatenate([lin_w, ang_c], axis=-1)
 
 
+def _bt(arr, shape):
+  """Contiguous broadcast (0-stride host views upset buffer transfer)."""
+  return np.ascontiguousarray(np.broadcast_to(arr, shape))
+
+
 def _merge(old, new, mask):
   if mask is None:
     return new
@@ -57,12 +62,18 @@ class EntityData:
     B = ctx.num_envs
     dtype = ctx.dtype
 
+    # IMPORTANT: every constant here stays a HOST numpy array (broadcast row,
+    # shape (1, ·)). Eagerly-created jnp arrays captured as jit constants
+    # trigger a severe sticky slow path on the axon TPU runtime (see
+    # docs/PERF_NOTES.md); numpy constants lower to inline HLO literals.
+    np_dtype = np.dtype(dtype)
+
     cfg = entity.cfg.init_state
     root_state = list(cfg.pos) + list(cfg.rot)
     if not entity.is_fixed_base:
       root_state += list(cfg.lin_vel) + list(cfg.ang_vel)
-    self.default_root_state = jnp.tile(
-      jnp.asarray(root_state, dtype=dtype), (B, 1)
+    self.default_root_state = _bt(
+      np.asarray(root_state, dtype=np_dtype), (B, len(root_state))
     )
 
     from mjlab_tpu.core.strings import resolve_expr
@@ -70,21 +81,33 @@ class EntityData:
     if entity.is_articulated:
       jp = resolve_expr(cfg.joint_pos, entity.joint_names)
       jv = resolve_expr(cfg.joint_vel, entity.joint_names)
-      self.default_joint_pos = jnp.tile(jnp.asarray(jp, dtype=dtype), (B, 1))
-      self.default_joint_vel = jnp.tile(jnp.asarray(jv, dtype=dtype), (B, 1))
+      nj = len(jp)
+      self.default_joint_pos = _bt(
+        np.asarray(jp, dtype=np_dtype), (B, nj)
+      )
+      self.default_joint_vel = _bt(
+        np.asarray(jv, dtype=np_dtype), (B, nj)
+      )
       if entity.is_actuated:
-        model = ctx.unbatched_model
-        self.default_joint_stiffness = jnp.tile(
-          model.actuator_gainprm[idx.ctrl_ids, 0][None], (B, 1)
+        # Read from the HOST mj_model: pulling device model leaves here would
+        # be a device→host transfer, which permanently degrades the axon
+        # runtime (docs/PERF_NOTES.md).
+        mjm = ctx.sim.mj_model
+        gain = np.asarray(mjm.actuator_gainprm)[idx.ctrl_ids, 0]
+        damp = -np.asarray(mjm.actuator_biasprm)[idx.ctrl_ids, 2]
+        self.default_joint_stiffness = _bt(
+          gain.astype(np_dtype), (B, len(idx.ctrl_ids))
         )
-        self.default_joint_damping = jnp.tile(
-          -model.actuator_biasprm[idx.ctrl_ids, 2][None], (B, 1)
+        self.default_joint_damping = _bt(
+          damp.astype(np_dtype), (B, len(idx.ctrl_ids))
         )
       else:
-        self.default_joint_stiffness = jnp.zeros((B, 0), dtype=dtype)
-        self.default_joint_damping = jnp.zeros((B, 0), dtype=dtype)
-      limits = ctx.unbatched_model.jnt_range[idx.joint_ids]  # (nj, 2)
-      self.default_joint_pos_limits = jnp.tile(limits[None], (B, 1, 1))
+        self.default_joint_stiffness = np.zeros((B, 0), dtype=np_dtype)
+        self.default_joint_damping = np.zeros((B, 0), dtype=np_dtype)
+      limits = np.asarray(ctx.sim.mj_model.jnt_range)[idx.joint_ids]  # (nj, 2)
+      self.default_joint_pos_limits = _bt(
+        limits[None].astype(np_dtype), (B, nj, 2)
+      )
       self.joint_pos_limits = self.default_joint_pos_limits
       mean = (limits[:, 0] + limits[:, 1]) / 2
       rng = limits[:, 1] - limits[:, 0]
@@ -93,22 +116,28 @@ class EntityData:
         if entity.cfg.articulation
         else 1.0
       )
-      soft = jnp.stack(
+      soft = np.stack(
         [mean - 0.5 * rng * factor, mean + 0.5 * rng * factor], axis=-1
       )
-      self.soft_joint_pos_limits = jnp.tile(soft[None], (B, 1, 1))
+      self.soft_joint_pos_limits = _bt(
+        soft[None].astype(np_dtype), (B, nj, 2)
+      )
     else:
-      z = jnp.zeros((B, 0), dtype=dtype)
+      z = np.zeros((B, 0), dtype=np_dtype)
       self.default_joint_pos = z
       self.default_joint_vel = z
       self.default_joint_stiffness = z
       self.default_joint_damping = z
-      self.default_joint_pos_limits = jnp.zeros((B, 0, 2), dtype=dtype)
+      self.default_joint_pos_limits = np.zeros((B, 0, 2), dtype=np_dtype)
       self.joint_pos_limits = self.default_joint_pos_limits
       self.soft_joint_pos_limits = self.default_joint_pos_limits
 
-    self.gravity_vec_w = jnp.tile(jnp.asarray([0.0, 0.0, -1.0], dtype=dtype), (B, 1))
-    self.forward_vec_b = jnp.tile(jnp.asarray([1.0, 0.0, 0.0], dtype=dtype), (B, 1))
+    self.gravity_vec_w = _bt(
+      np.asarray([0.0, 0.0, -1.0], dtype=np_dtype), (B, 3)
+    )
+    self.forward_vec_b = _bt(
+      np.asarray([1.0, 0.0, 0.0], dtype=np_dtype), (B, 3)
+    )
     self.is_fixed_base = entity.is_fixed_base
     self.is_articulated = entity.is_articulated
     self.is_actuated = entity.is_actuated

@@ -54,8 +54,8 @@ class AnklePrToTendonAction(ActionTerm):
         )
         out = np.full((4,), default, dtype=float)
         out[idx] = vals
-        return jnp.asarray(out, dtype=env.dtype)
-      return jnp.full((4,), float(value), dtype=env.dtype)
+        return out.astype(np.dtype(env.dtype))
+      return np.full((4,), float(value), dtype=np.dtype(env.dtype))
 
     self._scale = resolve(cfg.scale, 1.0)
     self._offset = resolve(cfg.offset, 0.0)

@@ -49,8 +49,8 @@ class JointAction(ActionTerm):
     def resolve(value, default):
       if isinstance(value, dict):
         _, _, vals = resolve_matching_names_values(value, self._actuator_names)
-        return jnp.asarray(vals, dtype=env.dtype)
-      return jnp.full((n,), float(value), dtype=env.dtype)
+        return np.asarray(vals, dtype=np.dtype(env.dtype))
+      return np.full((n,), float(value), dtype=np.dtype(env.dtype))
 
     self._scale = resolve(cfg.scale, 1.0)
     self._offset = resolve(cfg.offset, 0.0)

@@ -35,7 +35,7 @@ def _uniform6(env, ranges_dict, shape):
 
 def reset_scene_to_default(env, env_mask) -> None:
   for entity in env.scene.entities.values():
-    root_state = entity.data.default_root_state
+    root_state = jnp.asarray(entity.data.default_root_state)
     if not entity.is_fixed_base:
       root_state = root_state.at[:, 0:3].add(env.scene.env_origins)
       entity.write_root_state_to_sim(root_state, env_mask=env_mask)

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from mjlab_tpu.core.strings import resolve_matching_names_values
 from mjlab_tpu.managers.scene_entity_config import SceneEntityCfg
@@ -60,7 +61,7 @@ class posture:
     _, _, std = resolve_matching_names_values(
       data=cfg.params["std"], list_of_strings=joint_names
     )
-    self.std = jnp.asarray(std, dtype=env.dtype)
+    self.std = np.asarray(std, dtype=np.dtype(env.dtype))
 
   def __call__(self, env, std, asset_cfg: SceneEntityCfg) -> jax.Array:
     del std

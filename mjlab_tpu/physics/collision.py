@@ -209,6 +209,95 @@ def _capsule_box(p1, m1, s1, p2, m2, s2):
   )
 
 
+def _closest_triangle_point(a, b, c, p):
+  """Closest point on triangle abc to p (Ericson's method, branchless)."""
+  ab = b - a
+  ac = c - a
+  ap = p - a
+  d1 = jnp.dot(ab, ap)
+  d2 = jnp.dot(ac, ap)
+  bp = p - b
+  d3 = jnp.dot(ab, bp)
+  d4 = jnp.dot(ac, bp)
+  cp = p - c
+  d5 = jnp.dot(ab, cp)
+  d6 = jnp.dot(ac, cp)
+  va = d3 * d6 - d5 * d4
+  vb = d5 * d2 - d1 * d6
+  vc = d1 * d4 - d3 * d2
+  denom = jnp.maximum(va + vb + vc, 1e-12)
+  v = vb / denom
+  w = vc / denom
+  q = a + v * ab + w * ac  # interior case
+  # Vertex / edge regions.
+  q = jnp.where((vc <= 0) & (d1 >= 0) & (d3 <= 0),
+                a + jnp.clip(d1 / jnp.maximum(d1 - d3, 1e-12), 0, 1) * ab, q)
+  q = jnp.where((vb <= 0) & (d2 >= 0) & (d6 <= 0),
+                a + jnp.clip(d2 / jnp.maximum(d2 - d6, 1e-12), 0, 1) * ac, q)
+  t_bc = jnp.clip((d4 - d3) / jnp.maximum((d4 - d3) + (d5 - d6), 1e-12), 0, 1)
+  q = jnp.where((va <= 0) & (d4 - d3 >= 0) & (d5 - d6 >= 0), b + t_bc * (c - b), q)
+  q = jnp.where((d1 <= 0) & (d2 <= 0), a, q)
+  q = jnp.where((d3 >= 0) & (d4 <= d3), b, q)
+  q = jnp.where((d6 >= 0) & (d5 <= d6), c, q)
+  return q
+
+
+def _hfield_cell_triangles(heights, nx, ny, size, center_local):
+  """The 8 triangles of the 2×2 cell block around center_local.
+
+  heights: (nx*ny,) normalized raster (column-major over x);
+  returns (8, 3, 3) triangle vertices in the hfield frame."""
+  rx, ry, elev = size[0], size[1], size[2]
+  dx = 2 * rx / (nx - 1)
+  dy = 2 * ry / (ny - 1)
+  ix = jnp.clip(jnp.floor((center_local[0] + rx) / dx).astype(jnp.int32), 0, nx - 2)
+  iy = jnp.clip(jnp.floor((center_local[1] + ry) / dy).astype(jnp.int32), 0, ny - 2)
+
+  def vertex(i, j):
+    i = jnp.clip(i, 0, nx - 1)
+    j = jnp.clip(j, 0, ny - 1)
+    # MuJoCo raster: data[row=j, col=i] with x along columns.
+    z = heights[j * nx + i] * elev
+    return jnp.stack([-rx + i * dx, -ry + j * dy, z])
+
+  # 2×2 cell block around the containing cell.
+  tris = []
+  cells = [(ix, iy), (ix - 1, iy), (ix, iy - 1), (ix - 1, iy - 1)]
+  for cx, cy in cells:
+    cx = jnp.clip(cx, 0, nx - 2)
+    cy = jnp.clip(cy, 0, ny - 2)
+    v00 = vertex(cx, cy)
+    v10 = vertex(cx + 1, cy)
+    v01 = vertex(cx, cy + 1)
+    v11 = vertex(cx + 1, cy + 1)
+    tris.append(jnp.stack([v00, v10, v11]))
+    tris.append(jnp.stack([v00, v11, v01]))
+  return jnp.stack(tris)  # (8, 3, 3)
+
+
+def _sphere_hfield_contacts(c_local, r, tris):
+  """Deepest-4 sphere-vs-triangle contacts in the hfield frame."""
+
+  def one(tri):
+    q = _closest_triangle_point(tri[0], tri[1], tri[2], c_local)
+    delta = c_local - q
+    dn = jnp.linalg.norm(delta)
+    n_tri = jnp.cross(tri[1] - tri[0], tri[2] - tri[0])
+    n_tri = n_tri / jnp.maximum(jnp.linalg.norm(n_tri), 1e-12)
+    n_tri = jnp.where(n_tri[2] < 0, -n_tri, n_tri)  # up-facing
+    below = jnp.dot(n_tri, delta) < 0
+    n = jnp.where(dn > 1e-9, delta / jnp.maximum(dn, 1e-12), n_tri)
+    n = jnp.where(below, n_tri, n)
+    signed = jnp.where(below, -dn, dn)
+    dist = signed - r
+    pos = q + n * 0.5 * dist
+    return dist, pos, n
+
+  dists, poss, ns = jax.vmap(one)(tris)
+  neg, idx = jax.lax.top_k(-dists, 4)
+  return -neg, poss[idx], ns[idx]
+
+
 def _plane_convex(p1, m1, p2, m2, verts):
   """Plane vs convex hull: the 4 deepest hull vertices become contacts
   (MJX-style plane-convex; verts are (V, 3) in the geom frame)."""
@@ -265,6 +354,75 @@ def _combine_params_vec(tp: Topology, m: Model, g1: np.ndarray, g2: np.ndarray):
   return friction, solref, solimp, margin - gap
 
 
+def _hfield_group(tp, m, d, key, group, g1, g2):
+  """Narrowphase for (HFIELD, SPHERE|CAPSULE) pair groups.
+
+  Approximation: contacts against the triangulated 2×2 cell block under the
+  object (capsule: under each endpoint) — behaviorally matches MuJoCo's
+  prism collision for ground-scale rasters. Heights stay in Model
+  (terrain DR flows through)."""
+  dtype = d.qpos.dtype
+
+  def pair_fn(p1, m1, p2, m2, s2, heights, nx, ny, hsize):
+    c_local = m1.T @ (p2 - p1)
+    if key[1] == _G.mjGEOM_SPHERE:
+      tris = _hfield_cell_triangles(heights, nx, ny, hsize, c_local)
+      dist, pos_l, n_l = _sphere_hfield_contacts(c_local, s2[0], tris)
+    else:  # capsule: two endpoint spheres, deepest 2 each
+      axis_l = m1.T @ m2[:, 2]
+      r, hl = s2[0], s2[1]
+      outs = []
+      for sgn in (1.0, -1.0):
+        e = c_local + sgn * hl * axis_l
+        tris = _hfield_cell_triangles(heights, nx, ny, hsize, e)
+        de, pe, ne = _sphere_hfield_contacts(e, r, tris)
+        outs.append((de[:2], pe[:2], ne[:2]))
+      dist = jnp.concatenate([o[0] for o in outs])
+      pos_l = jnp.concatenate([o[1] for o in outs])
+      n_l = jnp.concatenate([o[2] for o in outs])
+    pos_w = p1 + pos_l @ m1.T
+    n_w = n_l @ m1.T
+    frames = jax.vmap(_normal_frame)(n_w)
+    return dist, pos_w, frames
+
+  # Sub-group by raster shape (static per trace).
+  dists, poss, frames = [], [], []
+  by_shape: dict = {}
+  for i, p in enumerate(group):
+    hid = int(tp.geom_dataid[p.geom1])
+    shape = (int(tp.hfield_ncol[hid]), int(tp.hfield_nrow[hid]))
+    by_shape.setdefault(shape, []).append(i)
+  order = []
+  for (nx, ny), idxs in by_shape.items():
+    gg1 = g1[idxs]
+    gg2 = g2[idxs]
+    hids = tp.geom_dataid[gg1]
+    adrs = tp.hfield_adr[hids]
+    heights = jnp.stack(
+      [
+        jax.lax.dynamic_slice(m.hfield_data, (int(a),), (nx * ny,))
+        for a in adrs
+      ]
+    )
+    hsizes = m.hfield_size[hids]
+    dist, pos, frame = jax.vmap(
+      lambda p1, m1, p2, m2, s2, h, hs: pair_fn(p1, m1, p2, m2, s2, h, nx, ny, hs)
+    )(
+      d.geom_xpos[gg1], d.geom_xmat[gg1],
+      d.geom_xpos[gg2], d.geom_xmat[gg2], m.geom_size[gg2],
+      heights, hsizes,
+    )
+    dists.append(dist)
+    poss.append(pos)
+    frames.append(frame)
+    order.extend(idxs)
+  # Restore original group order.
+  dist = jnp.concatenate(dists)[jnp.argsort(jnp.asarray(order))]
+  pos = jnp.concatenate(poss)[jnp.argsort(jnp.asarray(order))]
+  frame = jnp.concatenate(frames)[jnp.argsort(jnp.asarray(order))]
+  return dist.astype(dtype), pos, frame
+
+
 def collision(tp: Topology, m: Model, d: Data) -> Data:
   """Run narrowphase: one vmapped call per geometry-type group."""
   if tp.ncon_max == 0:
@@ -276,7 +434,9 @@ def collision(tp: Topology, m: Model, d: Data) -> Data:
     g1 = np.asarray([p.geom1 for p in group])
     g2 = np.asarray([p.geom2 for p in group])
     k = group[0].ncon
-    if key == (_G.mjGEOM_PLANE, _G.mjGEOM_MESH):
+    if key[0] == _G.mjGEOM_HFIELD:
+      dist, pos, frame = _hfield_group(tp, m, d, key, group, g1, g2)
+    elif key == (_G.mjGEOM_PLANE, _G.mjGEOM_MESH):
       # Hull-vertex arrays padded to the group max (repeat first vertex).
       vmax = max(tp.geom_hull_verts[g].shape[0] for g in g2)
       hulls = np.stack(

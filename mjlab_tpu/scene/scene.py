@@ -109,7 +109,7 @@ class Scene:
       origins = np.zeros((n, 3))
       origins[:, 0] = (ii - (side - 1) / 2) * self._cfg.env_spacing
       origins[:, 1] = (jj - (side - 1) / 2) * self._cfg.env_spacing
-      self._default_env_origins = jnp.asarray(origins, dtype=ctx.dtype)
+      self._default_env_origins = origins.astype(np.dtype(ctx.dtype))
     for ent in self._entities.values():
       ent.initialize(mj_model, ctx)
     for sensor in self._sensors.values():

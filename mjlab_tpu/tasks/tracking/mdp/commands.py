@@ -38,16 +38,19 @@ class MotionLoader:
 
   def __init__(self, motion_file: str, body_indexes: np.ndarray, dtype) -> None:
     data = np.load(motion_file)
-    as_dev = lambda k: jnp.asarray(data[k], dtype=dtype)  # noqa: E731
-    self.joint_pos = as_dev("joint_pos")
-    self.joint_vel = as_dev("joint_vel")
-    self.body_pos_w = jnp.asarray(data["body_pos_w"][:, body_indexes], dtype=dtype)
-    self.body_quat_w = jnp.asarray(data["body_quat_w"][:, body_indexes], dtype=dtype)
-    self.body_lin_vel_w = jnp.asarray(
-      data["body_lin_vel_w"][:, body_indexes], dtype=dtype
+    # Host numpy (NOT eager jnp): motion arrays are closure-captured by the
+    # jitted step, and eager jnp constants trigger the axon slow path
+    # (docs/PERF_NOTES.md). Use-sites wrap with jnp.asarray in-trace.
+    npd = np.dtype(dtype)
+    self.joint_pos = np.asarray(data["joint_pos"], dtype=npd)
+    self.joint_vel = np.asarray(data["joint_vel"], dtype=npd)
+    self.body_pos_w = np.asarray(data["body_pos_w"][:, body_indexes], dtype=npd)
+    self.body_quat_w = np.asarray(data["body_quat_w"][:, body_indexes], dtype=npd)
+    self.body_lin_vel_w = np.asarray(
+      data["body_lin_vel_w"][:, body_indexes], dtype=npd
     )
-    self.body_ang_vel_w = jnp.asarray(
-      data["body_ang_vel_w"][:, body_indexes], dtype=dtype
+    self.body_ang_vel_w = np.asarray(
+      data["body_ang_vel_w"][:, body_indexes], dtype=npd
     )
     self.time_step_total = int(self.joint_pos.shape[0])
 
@@ -73,7 +76,7 @@ class MotionCommand(CommandTerm):
     kernel = np.array(
       [cfg.adaptive_lambda**i for i in range(cfg.adaptive_kernel_size)]
     )
-    self.kernel = jnp.asarray(kernel / kernel.sum(), dtype=env.dtype)
+    self.kernel = np.asarray(kernel / kernel.sum(), dtype=np.dtype(env.dtype))
 
   # -- state ------------------------------------------------------------------
 
@@ -112,49 +115,49 @@ class MotionCommand(CommandTerm):
 
   @property
   def joint_pos(self):
-    return self.motion.joint_pos[self.time_steps]
+    return jnp.asarray(self.motion.joint_pos)[self.time_steps]
 
   @property
   def joint_vel(self):
-    return self.motion.joint_vel[self.time_steps]
+    return jnp.asarray(self.motion.joint_vel)[self.time_steps]
 
   @property
   def body_pos_w(self):
     return (
-      self.motion.body_pos_w[self.time_steps]
+      jnp.asarray(self.motion.body_pos_w)[self.time_steps]
       + self._env.scene.env_origins[:, None, :]
     )
 
   @property
   def body_quat_w(self):
-    return self.motion.body_quat_w[self.time_steps]
+    return jnp.asarray(self.motion.body_quat_w)[self.time_steps]
 
   @property
   def body_lin_vel_w(self):
-    return self.motion.body_lin_vel_w[self.time_steps]
+    return jnp.asarray(self.motion.body_lin_vel_w)[self.time_steps]
 
   @property
   def body_ang_vel_w(self):
-    return self.motion.body_ang_vel_w[self.time_steps]
+    return jnp.asarray(self.motion.body_ang_vel_w)[self.time_steps]
 
   @property
   def anchor_pos_w(self):
     return (
-      self.motion.body_pos_w[self.time_steps, self.motion_anchor_body_index]
+      jnp.asarray(self.motion.body_pos_w)[self.time_steps, self.motion_anchor_body_index]
       + self._env.scene.env_origins
     )
 
   @property
   def anchor_quat_w(self):
-    return self.motion.body_quat_w[self.time_steps, self.motion_anchor_body_index]
+    return jnp.asarray(self.motion.body_quat_w)[self.time_steps, self.motion_anchor_body_index]
 
   @property
   def anchor_lin_vel_w(self):
-    return self.motion.body_lin_vel_w[self.time_steps, self.motion_anchor_body_index]
+    return jnp.asarray(self.motion.body_lin_vel_w)[self.time_steps, self.motion_anchor_body_index]
 
   @property
   def anchor_ang_vel_w(self):
-    return self.motion.body_ang_vel_w[self.time_steps, self.motion_anchor_body_index]
+    return jnp.asarray(self.motion.body_ang_vel_w)[self.time_steps, self.motion_anchor_body_index]
 
   @property
   def body_pos_relative_w(self):

@@ -13,6 +13,7 @@ from typing import TYPE_CHECKING
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from mjlab_tpu.core.strings import resolve_matching_names_values
 from mjlab_tpu.managers.manager_base import ManagerTermBase
@@ -238,7 +239,7 @@ class variable_posture(ManagerTermBase):
       _, _, values = resolve_matching_names_values(
         data=cfg.params[key], list_of_strings=joint_names
       )
-      stds.append(jnp.asarray(values, dtype=env.dtype))
+      stds.append(np.asarray(values, dtype=np.dtype(env.dtype)))
     self.std_standing, self.std_walking, self.std_running = stds
 
   def __call__(

@@ -4,6 +4,12 @@ from mjlab_tpu.terrains.primitive_terrains import (
   BoxPyramidStairsTerrainCfg,
   BoxRandomGridTerrainCfg,
 )
+from mjlab_tpu.terrains.heightfield_terrains import (
+  HfInvertedPyramidSlopedTerrainCfg,
+  HfPyramidSlopedTerrainCfg,
+  HfRandomUniformTerrainCfg,
+  HfWaveTerrainCfg,
+)
 from mjlab_tpu.terrains.terrain_generator import (
   SubTerrainCfg,
   TerrainGenerator,
@@ -13,6 +19,10 @@ from mjlab_tpu.terrains.terrain_importer import TerrainImporter, TerrainImporter
 
 __all__ = [
   "BoxFlatTerrainCfg",
+  "HfInvertedPyramidSlopedTerrainCfg",
+  "HfPyramidSlopedTerrainCfg",
+  "HfRandomUniformTerrainCfg",
+  "HfWaveTerrainCfg",
   "BoxInvertedPyramidStairsTerrainCfg",
   "BoxPyramidStairsTerrainCfg",
   "BoxRandomGridTerrainCfg",

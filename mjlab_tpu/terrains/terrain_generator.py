@@ -33,9 +33,20 @@ class BoxDesc:
 
 
 @dataclass
+class HfieldDesc:
+  """A heightfield raster (meters) covering the full tile."""
+
+  heights: np.ndarray  # (nx, ny) height in meters
+  size_x: float
+  size_y: float
+  base: float = 0.5  # skirt thickness below z=0
+
+
+@dataclass
 class TerrainOutput:
   origin: np.ndarray  # (3,) spawn point in the tile frame
   boxes: list[BoxDesc] = field(default_factory=list)
+  hfield: HfieldDesc | None = None
 
 
 def height_ramp(t: float, base=(0.25, 0.45, 0.85)) -> tuple[float, ...]:
@@ -156,6 +167,10 @@ class TerrainGenerator:
         sub, difficulty = self._pick(subs, proportions, row, col)
         tile_corner = self._tile_corner(row, col)
         output = sub.build(difficulty, self.rng)
+        if output.hfield is not None:
+          geom_count = self._add_hfield(
+            spec, body, output.hfield, tile_corner, row, col, geom_count
+          )
         for box in output.boxes:
           rgba = self._resolve_color(box)
           body.add_geom(
@@ -197,6 +212,37 @@ class TerrainGenerator:
         0.0,
       ]
     )
+
+  def _add_hfield(self, spec, body, hf: HfieldDesc, tile_corner, row, col,
+                  geom_count: int) -> int:
+    """Write an hfield asset + geom for one tile.
+
+    MuJoCo hfield data is (nrow, ncol) with columns along x and rows along
+    y, normalized to [0, 1] over elevation size[2]; the geom sits at the
+    tile center with z chosen so raster heights are world heights."""
+    import numpy as np  # noqa: PLC0415 (local to avoid confusing jit users)
+
+    h = hf.heights
+    h_min, h_max = float(h.min()), float(h.max())
+    elevation = max(h_max - h_min, 1e-6)
+    normalized = (h - h_min) / elevation
+    name = f"hfield_{row}_{col}"
+    spec.add_hfield(
+      name=name,
+      size=[hf.size_x / 2, hf.size_y / 2, elevation, hf.base],
+      nrow=h.shape[1],
+      ncol=h.shape[0],
+      userdata=normalized.T.reshape(-1),
+    )
+    center = tile_corner + np.array([hf.size_x / 2, hf.size_y / 2, h_min])
+    body.add_geom(
+      name=f"terrain_{geom_count}",
+      type=mujoco.mjtGeom.mjGEOM_HFIELD,
+      hfieldname=name,
+      pos=list(center),
+      rgba=[0.45, 0.45, 0.45, 1.0],
+    )
+    return geom_count + 1
 
   def _resolve_color(self, box: BoxDesc):
     if self.cfg.color_scheme == "height" and box.rgba is not None:

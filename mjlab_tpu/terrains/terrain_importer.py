@@ -76,14 +76,14 @@ class TerrainImporter:
       self._init_levels = levels
       self._init_types = types
       origins = self.terrain_origins[levels, types]
-      self.env_origins = jnp.asarray(origins, dtype=ctx.dtype)
+      self.env_origins = origins.astype(np.dtype(ctx.dtype))
     else:
       side = int(np.ceil(np.sqrt(n)))
       ii, jj = np.unravel_index(np.arange(n), (side, side))
       origins = np.zeros((n, 3))
       origins[:, 0] = (ii - (side - 1) / 2) * self.cfg.env_spacing
       origins[:, 1] = (jj - (side - 1) / 2) * self.cfg.env_spacing
-      self.env_origins = jnp.asarray(origins, dtype=ctx.dtype)
+      self.env_origins = origins.astype(np.dtype(ctx.dtype))
 
   def init_state(self) -> dict:
     n = self.cfg.num_envs
