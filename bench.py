@@ -60,12 +60,22 @@ def main() -> None:
   dt = time.perf_counter() - t0
 
   env_steps_per_s = num_envs * steps / dt
+
+  # Sanity: physics stayed finite. (This device→host pull happens AFTER the
+  # timed region — on the axon runtime any D2H permanently slows the device,
+  # see docs/PERF_NOTES.md.)
+  import numpy as np
+
+  qpos = np.asarray(jax.device_get(state.qpos if hasattr(state, "qpos")
+                                   else state.data.qpos))
+  finite = bool(np.isfinite(qpos).all())
+
   target = 1_000_000.0
   print(
     json.dumps(
       {
         "metric": f"env_steps_per_s ({task}, {num_envs} envs, "
-        f"{jax.devices()[0].platform})",
+        f"{jax.devices()[0].platform}, finite={finite})",
         "value": round(env_steps_per_s, 1),
         "unit": "env-steps/s",
         "vs_baseline": round(env_steps_per_s / target, 4),

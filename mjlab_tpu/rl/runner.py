@@ -191,38 +191,80 @@ class OnPolicyRunner:
 
   # -- host API ------------------------------------------------------------------
 
-  def learn(self, num_iterations: int, log_interval: int = 10):
+  def learn(self, num_iterations: int, log_interval: int = 10,
+            deferred_logging: bool = True):
+    """Run PPO iterations.
+
+    deferred_logging=True (default) keeps ALL metrics on device during the
+    loop and pulls them once at the end: the axon TPU runtime permanently
+    drops to a slow execution mode after any device→host transfer
+    (docs/PERF_NOTES.md), so live per-interval logging would throttle the
+    whole run. Set deferred_logging=False on runtimes without that quirk
+    for live console/tensorboard output.
+    """
     steps_per_iter = self.cfg.num_steps_per_env * self.env.num_envs
+    device_metrics: list = []
+    iter_times: list[float] = []
+    start_iter = self.iteration
     for _ in range(num_iterations):
       t0 = time.perf_counter()
       self.state, metrics = self._train_iter(self.state)
-      if self.iteration % log_interval == 0:
-        jax.block_until_ready(self.state.train.params)
-        dt = time.perf_counter() - t0
-        host = {k: float(np.asarray(v)) for k, v in metrics.items()}
-        fps = steps_per_iter / dt
-        print(
-          f"it {self.iteration:6d} | {fps:9.0f} steps/s | "
-          f"rew {host['Train/mean_step_reward']:.4f} | "
-          f"len {host['Train/mean_episode_length']:.1f} | "
-          f"kl {host['Loss/kl']:.4f} | lr {host['Loss/lr']:.2e}",
-          flush=True,
-        )
-        self._log_metrics(host)
-      if (
-        self.log_dir is not None
-        and self.cfg.save_interval > 0
-        and self.iteration % self.cfg.save_interval == 0
-      ):
-        self.save(os.path.join(self.log_dir, f"model_{self.iteration}"))
+      if deferred_logging:
+        device_metrics.append(metrics)
+        if self.iteration % log_interval == 0:
+          jax.block_until_ready(self.state.train.lr)
+          iter_times.append(time.perf_counter() - t0)
+          print(
+            f"it {self.iteration:6d} | "
+            f"{steps_per_iter / iter_times[-1]:9.0f} steps/s "
+            f"(metrics deferred)",
+            flush=True,
+          )
+      else:
+        if self.iteration % log_interval == 0:
+          jax.block_until_ready(self.state.train.params)
+          dt = time.perf_counter() - t0
+          host = {k: float(np.asarray(v)) for k, v in metrics.items()}
+          fps = steps_per_iter / dt
+          print(
+            f"it {self.iteration:6d} | {fps:9.0f} steps/s | "
+            f"rew {host['Train/mean_step_reward']:.4f} | "
+            f"len {host['Train/mean_episode_length']:.1f} | "
+            f"kl {host['Loss/kl']:.4f} | lr {host['Loss/lr']:.2e}",
+            flush=True,
+          )
+          self._log_metrics(host)
+        if (
+          self.log_dir is not None
+          and self.cfg.save_interval > 0
+          and self.iteration % self.cfg.save_interval == 0
+        ):
+          self.save(os.path.join(self.log_dir, f"model_{self.iteration}"))
       self.iteration += 1
+
+    if deferred_logging and device_metrics:
+      # One bulk device→host pull at the end of the run segment.
+      host_metrics = jax.device_get(device_metrics)
+      for i, host in enumerate(host_metrics):
+        if i % log_interval == 0 or i == len(host_metrics) - 1:
+          print(
+            f"[deferred] it {start_iter + i:6d} | "
+            f"rew {float(host['Train/mean_step_reward']):.4f} | "
+            f"len {float(host['Train/mean_episode_length']):.1f} | "
+            f"kl {float(host['Loss/kl']):.4f} | "
+            f"lr {float(host['Loss/lr']):.2e}",
+            flush=True,
+          )
+        self._log_metrics(
+          {k: float(np.asarray(v)) for k, v in host.items()}, step=start_iter + i
+        )
     # Hand the (donated-through) env state back to the env so host-side use
     # (reset, viewers, manager reads) sees live buffers.
     self.env.state = self.state.env_state
     self.env._begin(self.env.state)
     return self.state
 
-  def _log_metrics(self, host_metrics: dict) -> None:
+  def _log_metrics(self, host_metrics: dict, step: int | None = None) -> None:
     if self.log_dir is None:
       return
     if self._writer is None:
@@ -234,7 +276,7 @@ class OnPolicyRunner:
         self._writer = False
     if self._writer:
       for k, v in host_metrics.items():
-        self._writer.add_scalar(k, v, self.iteration)
+        self._writer.add_scalar(k, v, self.iteration if step is None else step)
 
   # -- inference / persistence ----------------------------------------------------
 
