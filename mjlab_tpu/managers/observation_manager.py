@@ -100,6 +100,21 @@ class ObservationManager(ManagerBase):
 
   # -- properties ----------------------------------------------------------------
 
+  def __str__(self) -> str:
+    from mjlab_tpu.utils.logging import render_table
+
+    blocks = []
+    for group, names in self.active_terms.items():
+      rows = []
+      for i, n in enumerate(names):
+        dim = self._group_obs_term_dim[group][i]
+        rows.append([i, n, dim])
+      blocks.append(render_table(
+        f"Active Observation Terms in Group: '{group}' "
+        f"(shape: {self._group_obs_dim[group]})",
+        ["Index", "Name", "Shape"], rows))
+    return "\n".join(blocks)
+
   @property
   def active_terms(self) -> dict[str, list[str]]:
     return self._group_term_names

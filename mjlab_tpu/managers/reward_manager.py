@@ -36,6 +36,14 @@ class RewardManager(ManagerBase):
       self._term_names.append(name)
       self._term_cfgs.append(term_cfg)
 
+  def __str__(self) -> str:
+    from mjlab_tpu.utils.logging import render_table
+
+    rows = [[i, n, c.weight] for i, (n, c) in enumerate(
+      zip(self._term_names, self._term_cfgs))]
+    return render_table("Active Reward Terms", ["Index", "Name", "Weight"],
+                        rows)
+
   @property
   def active_terms(self) -> list[str]:
     return list(self._term_names)

@@ -31,6 +31,14 @@ class TerminationManager(ManagerBase):
       self._term_names.append(name)
       self._term_cfgs.append(term_cfg)
 
+  def __str__(self) -> str:
+    from mjlab_tpu.utils.logging import render_table
+
+    rows = [[i, n, c.time_out] for i, (n, c) in enumerate(
+      zip(self._term_names, self._term_cfgs))]
+    return render_table("Active Termination Terms",
+                        ["Index", "Name", "Time Out"], rows)
+
   @property
   def active_terms(self) -> list[str]:
     return list(self._term_names)
