@@ -55,8 +55,8 @@ def build_torch_actor(runner) -> "Any":
     def __init__(self):
       super().__init__()
       self.actor = actor
-      self.register_buffer("mean", torch.from_numpy(np.asarray(norm.mean)))
-      self.register_buffer("var", torch.from_numpy(np.asarray(norm.var)))
+      self.register_buffer("mean", torch.from_numpy(np.array(norm.mean)))
+      self.register_buffer("var", torch.from_numpy(np.array(norm.var)))
 
     def forward(self, obs):
       x = (obs - self.mean) / torch.sqrt(self.var + 1e-8)

@@ -291,7 +291,10 @@ class OnPolicyRunner:
 
     return policy
 
-  def save(self, path: str) -> None:
+  def save(self, path: str, export: bool = True) -> None:
+    """Checkpoint learner state; also export a deployable TorchScript policy
+    with embedded robot metadata (the reference exports ONNX on every save,
+    tasks/velocity/rl/runner.py:16-38)."""
     import pickle
 
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
@@ -305,6 +308,13 @@ class OnPolicyRunner:
     }
     with open(path + ".pkl", "wb") as f:
       pickle.dump(payload, f)
+    if export:
+      try:
+        from mjlab_tpu.rl.exporter import export_policy_as_torchscript
+
+        export_policy_as_torchscript(self, self.env, path + "_policy.pt")
+      except Exception as e:
+        print(f"[runner] policy export skipped: {e}")
 
   def load(self, path: str) -> None:
     import pickle

@@ -38,6 +38,27 @@ def run_train(task: str, overrides: dict[str, str]) -> None:
   env = gym.make(task, cfg=env_cfg).unwrapped
   runner = OnPolicyRunner(env, agent_cfg, log_dir=log_root)
 
+  # Optional NaN guard (reference train.py --enable-nan-guard; note: each
+  # guard check is a device→host pull — see docs/PERF_NOTES.md for the cost
+  # on the axon runtime).
+  if overrides.get("enable_nan_guard", "false").lower() in ("1", "true"):
+    from mjlab_tpu.utils.nan_guard import NanGuard, NanGuardCfg
+
+    guard = NanGuard(
+      NanGuardCfg(enabled=True, output_dir=os.path.join(log_root, "nan_dumps")),
+      env,
+    )
+    orig_iter = runner._train_iter
+
+    def guarded_iter(state):
+      out = orig_iter(state)
+      runner.env.state = out[0].env_state
+      if guard.watch():
+        raise RuntimeError("NaN detected; state dumped (see nan_dumps/).")
+      return out
+
+    runner._train_iter = guarded_iter
+
   # Record the resolved config for the run (reference train.py:117-118).
   try:
     import yaml
