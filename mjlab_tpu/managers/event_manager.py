@@ -11,6 +11,7 @@ the entity/EnvContext write API with the mask.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from mjlab_tpu.managers.manager_base import ManagerBase
@@ -47,30 +48,31 @@ class EventManager(ManagerBase):
     return dict(self._mode_terms)
 
   def init_state(self) -> dict:
-    state: dict = {"interval_time_left": {}}
+    state: dict = {"interval_time_left": {}, "last_trigger_step": {}}
     for name in self._mode_terms.get("interval", []):
       cfg = self._terms[name]
       lo, hi = cfg.interval_range_s
       key = self._env.next_key()
-      import jax
-
       t = jax.random.uniform(
         key, (self.num_envs,), minval=lo, maxval=hi, dtype=self._env.dtype
       )
       state["interval_time_left"][name] = t
+    for name in self._mode_terms.get("reset", []):
+      if self._terms[name].min_step_count_between_reset > 0:
+        state["last_trigger_step"][name] = jnp.zeros(
+          (self.num_envs,), dtype=jnp.int32
+        )
     return state
 
   def apply(self, mode: str, env_mask=None, dt: float | None = None,
             global_env_step_count=None) -> None:
-    ns = self._env.ns(self.NS) if mode == "interval" else None
+    ns = self._env.ns(self.NS) if mode in ("interval", "reset") else None
     for name in self._mode_terms.get(mode, []):
       cfg = self._terms[name]
       if mode == "interval":
         time_left = ns["interval_time_left"][name] - dt
         fire = time_left <= 0.0
         lo, hi = cfg.interval_range_s
-        import jax
-
         resample = jax.random.uniform(
           self._env.next_key(), (self.num_envs,), minval=lo, maxval=hi,
           dtype=self._env.dtype,
@@ -80,12 +82,15 @@ class EventManager(ManagerBase):
       elif mode == "reset":
         mask = env_mask
         if cfg.min_step_count_between_reset > 0 and global_env_step_count is not None:
-          # Approximate the reference's per-term trigger spacing using the
-          # global step counter (reference event_manager.py:146-172).
-          ok = (
-            global_env_step_count % max(cfg.min_step_count_between_reset, 1)
-          ) == 0
+          # Per-env trigger spacing (reference event_manager.py:146-172):
+          # fire only for envs whose last trigger is at least
+          # min_step_count_between_reset steps in the past.
+          last = ns["last_trigger_step"][name]
+          ok = (global_env_step_count - last) >= cfg.min_step_count_between_reset
           mask = jnp.logical_and(mask, ok)
+          ns["last_trigger_step"][name] = jnp.where(
+            mask, jnp.asarray(global_env_step_count, dtype=last.dtype), last
+          )
         cfg.func(self._env, mask, **cfg.params)
       elif mode == "startup":
         mask = jnp.ones(self.num_envs, dtype=bool)

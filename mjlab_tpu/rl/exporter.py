@@ -74,7 +74,14 @@ def collect_robot_metadata(env, action_term_name: str = "joint_pos") -> dict:
 
   joint_names = list(robot.joint_names)
   kp, kd, default_pose = [], [], []
-  qpos0 = np.asarray(mj_model.qpos0)
+  # Default pose = the entity's init_state keyframe (authored by the Entity
+  # layer), not qpos0 — keyframes don't rewrite qpos0.
+  key_id = mujoco.mj_name2id(
+    mj_model, mujoco.mjtObj.mjOBJ_KEY, "robot/init_state"
+  )
+  qpos0 = np.asarray(
+    mj_model.key_qpos[key_id] if key_id >= 0 else mj_model.qpos0
+  )
   for name in joint_names:
     aid = mujoco.mj_name2id(
       mj_model, mujoco.mjtObj.mjOBJ_ACTUATOR, f"robot/{name}"

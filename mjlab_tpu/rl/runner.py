@@ -86,7 +86,10 @@ class OnPolicyRunner:
       critic_norm=RunningNorm.create(self.num_critic_obs),
       rng=key,
     )
-    self._train_iter = jax.jit(self._train_iteration, donate_argnums=(0,))
+    # NOTE: no buffer donation — donating the RunnerState makes the axon TPU
+    # relay ~4000x slower per call (1.5 ms → 5.8 s measured; see
+    # docs/PERF_NOTES.md). The extra state copy is cheap next to that.
+    self._train_iter = jax.jit(self._train_iteration)
     self._writer = None
 
   # -- fused training iteration ------------------------------------------------

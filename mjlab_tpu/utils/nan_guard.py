@@ -41,12 +41,14 @@ class NanGuard:
     if not self.cfg.enabled or self._fired:
       return False
     data = self.env.state.data
+    # np.array (not asarray): device_get of an already-host-resident array
+    # returns it uncopied, and ring snapshots must not alias live state.
     snap = {
-      "qpos": np.asarray(jax.device_get(data.qpos)),
-      "qvel": np.asarray(jax.device_get(data.qvel)),
-      "qacc": np.asarray(jax.device_get(data.qacc)),
-      "ctrl": np.asarray(jax.device_get(data.ctrl)),
-      "time": np.asarray(jax.device_get(data.time)),
+      "qpos": np.array(jax.device_get(data.qpos)),
+      "qvel": np.array(jax.device_get(data.qvel)),
+      "qacc": np.array(jax.device_get(data.qacc)),
+      "ctrl": np.array(jax.device_get(data.ctrl)),
+      "time": np.array(jax.device_get(data.time)),
     }
     self._ring.append(snap)
     nan_mask = (
