@@ -144,7 +144,9 @@ class ObservationManager(ManagerBase):
       example = cfg.func(self._env, **cfg.params)
       state["history"][f"{g}/{t}"] = hb.init_state(example)
     for (g, t), nm in self._noise_models.items():
-      state["noise"][f"{g}/{t}"] = nm.init_state(self._env.dtype)
+      cfg = self._term_cfg(g, t)
+      example = cfg.func(self._env, **cfg.params)
+      state["noise"][f"{g}/{t}"] = nm.init_state(example)
     return state
 
   def _term_cfg(self, group, term) -> ObservationTermCfg:

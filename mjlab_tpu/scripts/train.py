@@ -76,7 +76,19 @@ def run_train(task: str, overrides: dict[str, str]) -> None:
       print(f"[train] resuming from {ckpt}", flush=True)
       runner.load(ckpt)
 
-  runner.learn(agent_cfg.max_iterations)
+  # Optional profiler trace (--profile <n_iters>): captures an XLA/TPU trace
+  # of the first n training iterations, viewable in TensorBoard/Perfetto
+  # (the reference has no profiler integration; SURVEY §5).
+  profile_iters = int(overrides.get("profile", "0"))
+  if profile_iters > 0:
+    trace_dir = os.path.join(log_root, "profile")
+    print(f"[train] profiling first {profile_iters} iters → {trace_dir}",
+          flush=True)
+    with jax.profiler.trace(trace_dir):
+      runner.learn(profile_iters)
+    runner.learn(agent_cfg.max_iterations - profile_iters)
+  else:
+    runner.learn(agent_cfg.max_iterations)
   runner.save(os.path.join(log_root, f"model_{runner.iteration}"))
 
 

@@ -76,7 +76,9 @@ class NoiseModel:
     self.cfg = cfg
     self.num_envs = num_envs
 
-  def init_state(self, dtype) -> dict:
+  def init_state(self, example: jax.Array) -> dict:
+    """Allocate per-env state shaped like `example` ((B, ...) term output)."""
+    del example
     return {}
 
   def apply(self, state: dict, key: jax.Array, data: jax.Array) -> jax.Array:
@@ -100,13 +102,8 @@ class NoiseModelWithAdditiveBias(NoiseModel):
   """Episode-constant per-env additive bias + per-step noise (reference
   noise_model.py:35-84)."""
 
-  def __init__(self, cfg: NoiseModelWithAdditiveBiasCfg, num_envs: int,
-               feature_shape: tuple[int, ...] = ()):
-    super().__init__(cfg, num_envs)
-    self.feature_shape = feature_shape
-
-  def init_state(self, dtype) -> dict:
-    return {"bias": jnp.zeros((self.num_envs,) + self.feature_shape, dtype=dtype)}
+  def init_state(self, example: jax.Array) -> dict:
+    return {"bias": jnp.zeros_like(example)}
 
   def apply(self, state, key, data):
     out = super().apply(state, key, data)

@@ -65,7 +65,7 @@ class TestNoiseCfg:
 class TestNoiseModel:
   def test_stateless_passthrough(self):
     model = NoiseModel(NoiseModelCfg(), num_envs=8)
-    state = model.init_state(jnp.float32)
+    state = model.init_state(_data())
     out = model.apply(state, jax.random.PRNGKey(0), _data())
     np.testing.assert_allclose(np.asarray(out), 2.0)
 
@@ -76,8 +76,9 @@ class TestNoiseModel:
       noise_cfg=None,
       bias_noise_cfg=UniformNoiseCfg(n_min=-1.0, n_max=1.0),
     )
-    model = NoiseModelWithAdditiveBias(cfg, num_envs=8, feature_shape=(4,))
-    state = model.init_state(jnp.float32)
+    model = NoiseModelWithAdditiveBias(cfg, num_envs=8)
+    state = model.init_state(_data())
+    assert state["bias"].shape == (8, 4)
     np.testing.assert_allclose(np.asarray(state["bias"]), 0.0)
 
     # Reset envs 0-3 only.
@@ -105,8 +106,8 @@ class TestNoiseModel:
       noise_cfg=ConstantNoiseCfg(bias=1.0, operation="add"),
       bias_noise_cfg=ConstantNoiseCfg(bias=0.25, operation="abs"),
     )
-    model = NoiseModelWithAdditiveBias(cfg, num_envs=8, feature_shape=(4,))
-    state = model.init_state(jnp.float32)
+    model = NoiseModelWithAdditiveBias(cfg, num_envs=8)
+    state = model.init_state(_data())
     state = model.reset(state, jax.random.PRNGKey(0), jnp.ones(8, bool))
     out = model.apply(state, jax.random.PRNGKey(1), _data())
     np.testing.assert_allclose(np.asarray(out), 2.0 + 1.0 + 0.25)
