@@ -1,9 +1,11 @@
 """Browser (viser/websocket) viewer.
 
-The reference ships a full viser stack (viewer/viser_scene.py + viser_play.py
-+ viser_reward_plotter.py, ~2k LoC). viser is not available in this build
-environment; this module provides the same entry point, gated on the
-dependency, with a minimal scene implementation when it is installed.
+TPU-side counterpart of the reference's viser stack (viewer/viser_play.py +
+viser_scene.py + viser_reward_plotter.py): meshes extracted from the MjModel
+(viser_conversions), geom-group GUI, pause/speed/env-cycling controls, and
+live reward plots. The `viser` package is optional in this environment; the
+import is gated in the constructor and everything viser-independent lives in
+viser_conversions / viser_reward_plotter for testability.
 """
 
 from __future__ import annotations
@@ -28,35 +30,42 @@ class ViserViewer(BaseViewer):
     super().__init__(env, policy, cfg)
     self._port = port
     self._server = None
-    self._frames: list = []
+    self._scene = None
+    self._plotter = None
 
   def setup(self) -> None:
     import mujoco
     import viser
 
-    self._server = viser.ViserServer(port=self._port)
+    from mjlab_tpu.viewer.viser_reward_plotter import ViserRewardPlotter
+    from mjlab_tpu.viewer.viser_scene import ViserMjScene
+
+    self._server = viser.ViserServer(port=self._port, verbose=False)
     m = self.env.sim.mj_model
     self._mj_model = m
     self._mj_data = mujoco.MjData(m)
-    # One frame per geom; primitive shapes mapped to viser primitives.
-    for g in range(m.ngeom):
-      gtype = m.geom_type[g]
-      size = m.geom_size[g]
-      rgba = m.geom_rgba[g]
-      name = f"/geom_{g}"
-      if gtype == mujoco.mjtGeom.mjGEOM_SPHERE:
-        h = self._server.scene.add_icosphere(name, radius=float(size[0]),
-                                             color=tuple(rgba[:3]))
-      elif gtype == mujoco.mjtGeom.mjGEOM_BOX:
-        h = self._server.scene.add_box(name, dimensions=tuple(2 * size[:3]),
-                                       color=tuple(rgba[:3]))
-      elif gtype in (mujoco.mjtGeom.mjGEOM_CAPSULE,
-                     mujoco.mjtGeom.mjGEOM_CYLINDER):
-        h = self._server.scene.add_icosphere(name, radius=float(size[0]),
-                                             color=tuple(rgba[:3]))
-      else:
-        h = None
-      self._frames.append(h)
+
+    self._scene = ViserMjScene(self._server, m)
+    self._scene.add_geom_group_gui()
+    self._build_controls()
+
+    reward_terms = list(getattr(self.env.reward_manager, "active_terms", []))
+    if reward_terms:
+      self._plotter = ViserRewardPlotter(self._server, reward_terms)
+
+  def _build_controls(self) -> None:
+    gui = self._server.gui
+    with gui.add_folder("Playback"):
+      pause = gui.add_button("Pause / resume")
+      pause.on_click(lambda _: self.toggle_pause())
+      faster = gui.add_button("Speed up")
+      faster.on_click(lambda _: self.speed_up())
+      slower = gui.add_button("Slow down")
+      slower.on_click(lambda _: self.slow_down())
+      nxt = gui.add_button("Next env")
+      nxt.on_click(lambda _: self.next_env())
+      prv = gui.add_button("Prev env")
+      prv.on_click(lambda _: self.prev_env())
 
   def is_running(self) -> bool:
     return self._server is not None
@@ -64,14 +73,23 @@ class ViserViewer(BaseViewer):
   def sync_env_to_viewer(self) -> None:
     import mujoco
 
-    data = self.env.state.data
-    self._mj_data.qpos[:] = np.asarray(data.qpos[self.env_idx])
+    self._mj_data.qpos[:] = self.get_env_qpos()
     mujoco.mj_forward(self._mj_model, self._mj_data)
-    for g, handle in enumerate(self._frames):
-      if handle is None:
-        continue
-      handle.position = tuple(self._mj_data.geom_xpos[g])
+    self._scene.update(
+      np.asarray(self._mj_data.geom_xpos), np.asarray(self._mj_data.geom_xmat)
+    )
+    if self._plotter is not None:
+      values = {
+        k.split("/", 1)[1]: float(v)
+        for k, v in self.env.step_log.items()
+        if k.startswith("Episode_Reward/")
+      }
+      if values:
+        self._plotter.update(values)
 
   def close(self) -> None:
+    if self._scene is not None:
+      self._scene.remove()
     if self._server is not None:
       self._server.stop()
+      self._server = None
