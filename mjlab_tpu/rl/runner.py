@@ -89,7 +89,12 @@ class OnPolicyRunner:
     # NOTE: no buffer donation — donating the RunnerState makes the axon TPU
     # relay ~4000x slower per call (1.5 ms → 5.8 s measured; see
     # docs/PERF_NOTES.md). The extra state copy is cheap next to that.
-    self._train_iter = jax.jit(self._train_iteration)
+    if cfg.fused_rollout:
+      self._train_iter = jax.jit(self._train_iteration)
+    else:
+      self._rollout_step_jit = jax.jit(self._rollout_step)
+      self._post_rollout_jit = jax.jit(self._post_rollout)
+      self._train_iter = self._train_iteration_hostloop
     self._writer = None
 
   # -- fused training iteration ------------------------------------------------
@@ -97,45 +102,45 @@ class OnPolicyRunner:
   def _policy_apply(self, params, actor_obs, critic_obs):
     return self.ac.apply(params, actor_obs, critic_obs)
 
+  def _rollout_step(self, carry, key):
+    """One policy-act + env-step; shared by both rollout modes."""
+    cfg = self.cfg
+    env_state, obs, params, a_norm, c_norm = carry
+    a_obs = a_norm(obs["policy"].astype(jnp.float32))
+    c_obs = c_norm(obs[self.critic_group].astype(jnp.float32))
+    mean, std, value = self._policy_apply(params, a_obs, c_obs)
+    std = jnp.broadcast_to(std, mean.shape)
+    action = mean + std * jax.random.normal(key, mean.shape, dtype=mean.dtype)
+    log_prob = gaussian_log_prob(mean, std, action)
+    act = action
+    if cfg.clip_actions is not None:
+      act = jnp.clip(act, -cfg.clip_actions, cfg.clip_actions)
+    env_state, (next_obs, rew, terminated, time_outs, log) = self.env._step_impl(
+      env_state, act.astype(self.env.dtype)
+    )
+    done = terminated | time_outs
+    tr = Transition(
+      actor_obs=a_obs,
+      critic_obs=c_obs,
+      action=action,
+      reward=rew.astype(jnp.float32),
+      done=done,
+      time_out=time_outs.astype(jnp.float32),
+      value=value,
+      log_prob=log_prob,
+      mean=mean,
+      std=std,
+    )
+    extra = {
+      "reward_mean": jnp.mean(rew),
+      "reset_count": log["reset_count"],
+      "episode_length_sum": log["Episode_Length"],
+      "log": log,
+    }
+    return (env_state, next_obs, params, a_norm, c_norm), (tr, extra)
+
   def _train_iteration(self, state: RunnerState):
     cfg = self.cfg
-    ac_apply = self._policy_apply
-
-    def rollout_step(carry, key):
-      env_state, obs, params, a_norm, c_norm = carry
-      a_obs = a_norm(obs["policy"].astype(jnp.float32))
-      c_obs = c_norm(obs[self.critic_group].astype(jnp.float32))
-      mean, std, value = ac_apply(params, a_obs, c_obs)
-      std = jnp.broadcast_to(std, mean.shape)
-      action = mean + std * jax.random.normal(key, mean.shape, dtype=mean.dtype)
-      log_prob = gaussian_log_prob(mean, std, action)
-      act = action
-      if cfg.clip_actions is not None:
-        act = jnp.clip(act, -cfg.clip_actions, cfg.clip_actions)
-      env_state, (next_obs, rew, terminated, time_outs, log) = self.env._step_impl(
-        env_state, act.astype(self.env.dtype)
-      )
-      done = terminated | time_outs
-      tr = Transition(
-        actor_obs=a_obs,
-        critic_obs=c_obs,
-        action=action,
-        reward=rew.astype(jnp.float32),
-        done=done,
-        time_out=time_outs.astype(jnp.float32),
-        value=value,
-        log_prob=log_prob,
-        mean=mean,
-        std=std,
-      )
-      extra = {
-        "reward_mean": jnp.mean(rew),
-        "reset_count": log["reset_count"],
-        "episode_length_sum": log["Episode_Length"],
-        "log": log,
-      }
-      return (env_state, next_obs, params, a_norm, c_norm), (tr, extra)
-
     rng, scan_key = jax.random.split(state.rng)
     keys = jax.random.split(scan_key, cfg.num_steps_per_env)
     carry = (
@@ -145,7 +150,36 @@ class OnPolicyRunner:
       state.actor_norm,
       state.critic_norm,
     )
-    carry, (batch, extras) = jax.lax.scan(rollout_step, carry, keys)
+    carry, (batch, extras) = jax.lax.scan(self._rollout_step, carry, keys)
+    return self._post_rollout(state, carry, batch, extras, rng)
+
+  def _train_iteration_hostloop(self, state: RunnerState):
+    """Host-loop rollout: per-step jitted calls + one jitted update. Same
+    math as the fused path (shared _rollout_step/_post_rollout); only the
+    step loop runs on the host. Use via cfg.fused_rollout=False on runtimes
+    whose relay executes scan-over-env programs pathologically slowly."""
+    cfg = self.cfg
+    rng, scan_key = jax.random.split(state.rng)
+    keys = jax.random.split(scan_key, cfg.num_steps_per_env)
+    carry = (
+      state.env_state,
+      state.obs,
+      state.train.params,
+      state.actor_norm,
+      state.critic_norm,
+    )
+    trs, extras_list = [], []
+    for t in range(cfg.num_steps_per_env):
+      carry, (tr, extra) = self._rollout_step_jit(carry, keys[t])
+      trs.append(tr)
+      extras_list.append(extra)
+    batch = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *trs)
+    extras = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *extras_list)
+    return self._post_rollout_jit(state, carry, batch, extras, rng)
+
+  def _post_rollout(self, state, carry, batch, extras, rng):
+    cfg = self.cfg
+    ac_apply = self._policy_apply
     env_state, obs, params, a_norm, c_norm = carry
 
     # Bootstrap value for the final state.
@@ -294,24 +328,36 @@ class OnPolicyRunner:
 
     return policy
 
+  def _checkpoint_tree(self) -> dict:
+    return {
+      "params": self.state.train.params,
+      "opt_state": self.state.train.opt_state,
+      "actor_norm": self.state.actor_norm,
+      "critic_norm": self.state.critic_norm,
+      "lr": self.state.train.lr,
+      "iteration": jnp.asarray(self.iteration, dtype=jnp.int32),
+    }
+
   def save(self, path: str, export: bool = True) -> None:
-    """Checkpoint learner state; also export a deployable TorchScript policy
-    with embedded robot metadata (the reference exports ONNX on every save,
+    """Checkpoint learner state (params + optimizer + normalizers) with
+    Orbax — multi-host safe, only process 0 writes single-host trees — and
+    export a deployable TorchScript policy with embedded robot metadata
+    (the reference exports ONNX on every save,
     tasks/velocity/rl/runner.py:16-38)."""
-    import pickle
+    import orbax.checkpoint as ocp
+
+    from mjlab_tpu.distributed.multihost import is_primary_host
 
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    payload = {
-      "params": jax.device_get(self.state.train.params),
-      "actor_norm": jax.device_get(self.state.actor_norm),
-      "critic_norm": jax.device_get(self.state.critic_norm),
-      "lr": float(self.state.train.lr),
-      "iteration": self.iteration,
-      "cfg": self.cfg,
-    }
-    with open(path + ".pkl", "wb") as f:
-      pickle.dump(payload, f)
-    if export:
+    if is_primary_host() or jax.process_count() > 1:
+      # With >1 process Orbax coordinates the distributed write itself and
+      # every process must participate; single-host, only write once.
+      with ocp.StandardCheckpointer() as ckpt:
+        ckpt.save(
+          os.path.abspath(path), jax.device_get(self._checkpoint_tree()),
+          force=True,
+        )
+    if export and is_primary_host():
       try:
         from mjlab_tpu.rl.exporter import export_policy_as_torchscript
 
@@ -320,16 +366,30 @@ class OnPolicyRunner:
         print(f"[runner] policy export skipped: {e}")
 
   def load(self, path: str) -> None:
-    import pickle
+    """Restore from an Orbax checkpoint dir (or a legacy .pkl file)."""
+    if path.endswith(".pkl") or os.path.isfile(path + ".pkl"):
+      import pickle
 
-    with open(path if path.endswith(".pkl") else path + ".pkl", "rb") as f:
-      payload = pickle.load(f)
+      with open(path if path.endswith(".pkl") else path + ".pkl", "rb") as f:
+        payload = pickle.load(f)
+      opt_state = self.state.train.opt_state
+      iteration = payload["iteration"]
+    else:
+      import orbax.checkpoint as ocp
+
+      with ocp.StandardCheckpointer() as ckpt:
+        payload = ckpt.restore(
+          os.path.abspath(path), jax.device_get(self._checkpoint_tree())
+        )
+      opt_state = payload["opt_state"]
+      iteration = int(payload["iteration"])
     self.state = self.state.replace(
       train=self.state.train.replace(
         params=payload["params"],
+        opt_state=opt_state,
         lr=jnp.asarray(payload["lr"]),
       ),
       actor_norm=payload["actor_norm"],
       critic_norm=payload["critic_norm"],
     )
-    self.iteration = payload["iteration"]
+    self.iteration = iteration

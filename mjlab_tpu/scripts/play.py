@@ -3,7 +3,8 @@
 Usage:
   python -m mjlab_tpu.scripts.play Mjlab-Velocity-Flat-Unitree-G1 \
       [--checkpoint logs/g1_velocity/model_100] [--policy zero|random|trained]
-      [--num_envs 4] [--steps 200] [--viewer native|none]
+      [--num_envs 4] [--steps 200] [--viewer native|viser|none]
+      [--video rollout.mp4]
 
 PLAY-mode overrides mirror the reference (play.py:47-91): infinite episode,
 no observation corruption, no pushes.
@@ -80,11 +81,21 @@ def run_play(task: str, overrides: dict[str, str]) -> None:
     def policy(obs):
       return jnp.zeros((B, act_dim))
 
-  if viewer_kind == "native":
+  if viewer_kind in ("native", "viser"):
     from mjlab_tpu.viewer import make_viewer
 
-    make_viewer("native", env, policy).run(max_steps=steps)
+    make_viewer(viewer_kind, env, policy).run(max_steps=steps)
     return
+
+  # Optional video recording (reference records via the offscreen renderer;
+  # requires a GL backend, e.g. MUJOCO_GL=egl on headless machines).
+  video_path = overrides.get("video")
+  renderer = None
+  frames: list[np.ndarray] = []
+  if video_path:
+    from mjlab_tpu.viewer.offscreen_renderer import OffscreenRenderer
+
+    renderer = OffscreenRenderer(env)
 
   # Headless rollout with reward stats.
   obs, _ = env.reset(seed=int(overrides.get("seed", "0")))
@@ -92,9 +103,18 @@ def run_play(task: str, overrides: dict[str, str]) -> None:
   for i in range(steps):
     obs, rew, term, trunc, extras = env.step(policy(obs))
     total += np.asarray(rew)
+    if renderer is not None:
+      frames.append(renderer.render())
   print(f"[play] {task}: {steps} steps, mean reward/step "
         f"{total.mean() / steps:.4f}, base z "
         f"{np.asarray(env.state.data.qpos[:, 2]).round(3)}")
+  if renderer is not None:
+    import imageio
+
+    fps = round(1.0 / env.step_dt)
+    imageio.mimsave(video_path, frames, fps=fps)
+    renderer.close()
+    print(f"[play] wrote {len(frames)} frames to {video_path} ({fps} fps)")
 
 
 def main() -> None:

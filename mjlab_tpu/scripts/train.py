@@ -18,8 +18,15 @@ def run_train(task: str, overrides: dict[str, str]) -> None:
   import jax
 
   import mjlab_tpu.tasks as tasks
+  from mjlab_tpu.distributed import initialize_multihost
   from mjlab_tpu.rl.runner import OnPolicyRunner
   from mjlab_tpu.scripts.cli import apply_overrides
+
+  # Multi-host pod bootstrap (no-op single-process; DCN crossed only here
+  # and at checkpoint I/O).
+  if initialize_multihost():
+    print(f"[train] multi-host: process {jax.process_index()}"
+          f"/{jax.process_count()}", flush=True)
 
   env_cfg = tasks.load_cfg_from_registry(task, "env_cfg_entry_point")
   agent_cfg = tasks.load_cfg_from_registry(task, "rl_cfg_entry_point")

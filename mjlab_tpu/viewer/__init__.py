@@ -11,9 +11,13 @@ __all__ = [
 
 
 def make_viewer(kind: str, env, policy, cfg: "ViewerConfig | None" = None):
-  """Viewer factory: "native" (mujoco window) or "offscreen"."""
+  """Viewer factory: "native" (mujoco window) or "viser" (browser)."""
   if kind == "native":
     from mjlab_tpu.viewer.native import NativeMujocoViewer
 
     return NativeMujocoViewer(env, policy, cfg)
-  raise ValueError(f"Unknown viewer kind '{kind}' (native)")
+  if kind == "viser":
+    from mjlab_tpu.viewer.viser_play import ViserViewer
+
+    return ViserViewer(env, policy, cfg)
+  raise ValueError(f"Unknown viewer kind '{kind}' (native|viser)")
