@@ -7,6 +7,8 @@ is >=1M env-steps/s aggregate at 4096 envs/chip, so vs_baseline is reported
 relative to that 1M env-steps/s target.
 
 Env overrides: BENCH_TASK, BENCH_NUM_ENVS, BENCH_STEPS, BENCH_WARMUP.
+BENCH_MODE=train benches the FULL PPO training iteration (rollout +
+minibatch updates) instead of bare env stepping.
 """
 
 from __future__ import annotations
@@ -37,6 +39,10 @@ def main() -> None:
   cfg.scene.num_envs = num_envs
   cfg.sim.dtype = "float32"
   env = ManagerBasedRlEnv(cfg)
+
+  if os.environ.get("BENCH_MODE") == "train":
+    _bench_train(task, env, num_envs)
+    return
   env.reset(seed=0)
 
   key = jax.random.key(0)
@@ -79,6 +85,43 @@ def main() -> None:
         "value": round(env_steps_per_s, 1),
         "unit": "env-steps/s",
         "vs_baseline": round(env_steps_per_s / target, 4),
+      }
+    )
+  )
+
+
+def _bench_train(task: str, env, num_envs: int) -> None:
+  """Full PPO training-iteration throughput (rollout + update)."""
+  import jax
+
+  import mjlab_tpu.tasks as tasks
+  from mjlab_tpu.rl.runner import OnPolicyRunner
+
+  agent = tasks.load_cfg_from_registry(task, "rl_cfg_entry_point")
+  runner = OnPolicyRunner(env, agent)
+  state = runner.state
+  # Two warmup iterations: the second still compiles host-loop helpers.
+  for _ in range(2):
+    state, metrics = runner._train_iter(state)
+  jax.block_until_ready(metrics["Loss/loss"])
+
+  iters = int(os.environ.get("BENCH_STEPS", "5"))
+  t0 = time.perf_counter()
+  for _ in range(iters):
+    state, metrics = runner._train_iter(state)
+  jax.block_until_ready(metrics["Loss/loss"])
+  dt = time.perf_counter() - t0
+  steps = num_envs * agent.num_steps_per_env * iters
+  target = 1_000_000.0
+  v = steps / dt
+  print(
+    json.dumps(
+      {
+        "metric": f"train_env_steps_per_s ({task}, {num_envs} envs, full PPO "
+        f"iteration, {jax.devices()[0].platform})",
+        "value": round(v, 1),
+        "unit": "env-steps/s",
+        "vs_baseline": round(v / target, 4),
       }
     )
   )

@@ -62,12 +62,14 @@ class RlOnPolicyRunnerCfg:
   load_run: str = ".*"
   load_checkpoint: str = "model_.*.pt"
   clip_actions: float | None = None
-  # Rollout execution mode. True (default): the whole iteration — rollout
-  # lax.scan + GAE + PPO epochs — is ONE XLA program (right for real TPU
-  # hardware: no host round-trips). False: the rollout runs as a host loop
-  # of per-step jitted calls feeding one jitted update — needed on runtimes
-  # where scan-over-env programs hit a slow relay path (docs/PERF_NOTES.md).
-  fused_rollout: bool = True
+  # Rollout execution mode. True: the whole iteration — rollout lax.scan +
+  # GAE + PPO epochs — is ONE XLA program (right for real TPU hardware: no
+  # host round-trips). False: the rollout runs as a host loop of per-step
+  # jitted calls feeding one jitted update — needed on runtimes where
+  # scan-over-env programs hit a slow relay path (docs/PERF_NOTES.md).
+  # None (default): auto — False on the tunneled 'axon' relay, True on
+  # every real backend.
+  fused_rollout: bool | None = None
 
 
 # Reference-parity aliases (reference rl/config.py names).

@@ -83,30 +83,22 @@ def compute_gae(t: Transition, last_value: jax.Array, gamma: float, lam: float):
   return advantages, returns
 
 
-def ppo_update(
-  cfg: PpoAlgorithmCfg,
-  apply_fn,
-  optimizer,
-  train_state: PpoTrainState,
-  batch: Transition,
-  last_value: jax.Array,
-):
-  """One PPO update over a rollout batch. Fully traced.
-
-  apply_fn(params, actor_obs, critic_obs) -> (mean, std, value).
-  Returns (new_train_state, metrics dict).
-  """
+def prepare_update(cfg: PpoAlgorithmCfg, batch: Transition, last_value):
+  """GAE + advantage normalization + (T·B)-flattening — the data prep shared
+  by both update drivers (fused scan and host loop)."""
   advantages, returns = compute_gae(batch, last_value, cfg.gamma, cfg.lam)
   if not cfg.normalize_advantage_per_mini_batch:
     advantages = (advantages - advantages.mean()) / (advantages.std() + 1e-8)
-
   T, B = batch.reward.shape
   flat = jax.tree_util.tree_map(lambda x: x.reshape((T * B,) + x.shape[2:]), batch)
-  adv_flat = advantages.reshape(-1)
-  ret_flat = returns.reshape(-1)
+  return flat, advantages.reshape(-1), returns.reshape(-1)
 
-  n = T * B
-  mb_size = n // cfg.num_mini_batches
+
+def make_minibatch_step(cfg: PpoAlgorithmCfg, apply_fn, optimizer):
+  """Build the pure single-minibatch SGD step
+  (params, opt_state, lr, flat, adv_flat, ret_flat, idx) →
+  (params, opt_state, lr, metrics). The fused ppo_update scans it; the
+  runner's host-loop mode jits and calls it per minibatch."""
 
   def loss_fn(params, mb, lr):
     mean, std, value = apply_fn(params, mb["actor_obs"], mb["critic_obs"])
@@ -153,8 +145,7 @@ def ppo_update(
 
   grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
-  def minibatch_step(carry, idx):
-    params, opt_state, lr, rng = carry
+  def minibatch_step(params, opt_state, lr, flat, adv_flat, ret_flat, idx):
     mb = {
       "actor_obs": flat.actor_obs[idx],
       "critic_obs": flat.critic_obs[idx],
@@ -182,6 +173,34 @@ def ppo_update(
     updates, opt_state = optimizer.update(grads, opt_state, params)
     params = optax.apply_updates(params, updates)
     metrics = {**aux, "loss": loss, "lr": lr}
+    return params, opt_state, lr, metrics
+
+  return minibatch_step
+
+
+def ppo_update(
+  cfg: PpoAlgorithmCfg,
+  apply_fn,
+  optimizer,
+  train_state: PpoTrainState,
+  batch: Transition,
+  last_value: jax.Array,
+):
+  """One PPO update over a rollout batch. Fully traced.
+
+  apply_fn(params, actor_obs, critic_obs) -> (mean, std, value).
+  Returns (new_train_state, metrics dict).
+  """
+  flat, adv_flat, ret_flat = prepare_update(cfg, batch, last_value)
+  n = adv_flat.shape[0]
+  mb_size = n // cfg.num_mini_batches
+  mb_step = make_minibatch_step(cfg, apply_fn, optimizer)
+
+  def minibatch_step(carry, idx):
+    params, opt_state, lr, rng = carry
+    params, opt_state, lr, metrics = mb_step(
+      params, opt_state, lr, flat, adv_flat, ret_flat, idx
+    )
     return (params, opt_state, lr, rng), metrics
 
   def epoch_step(carry, _):

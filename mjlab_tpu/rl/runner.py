@@ -89,11 +89,24 @@ class OnPolicyRunner:
     # NOTE: no buffer donation — donating the RunnerState makes the axon TPU
     # relay ~4000x slower per call (1.5 ms → 5.8 s measured; see
     # docs/PERF_NOTES.md). The extra state copy is cheap next to that.
-    if cfg.fused_rollout:
+    fused = cfg.fused_rollout
+    if fused is None:
+      # Auto: the tunneled 'axon' relay executes scan-over-env programs
+      # ~2600x slower than eagerly dispatched steps (docs/PERF_NOTES.md).
+      fused = "axon" not in os.environ.get("JAX_PLATFORMS", "")
+    if fused:
       self._train_iter = jax.jit(self._train_iteration)
     else:
+      from mjlab_tpu.rl.ppo import make_minibatch_step
+
       self._rollout_step_jit = jax.jit(self._rollout_step)
-      self._post_rollout_jit = jax.jit(self._post_rollout)
+      self._rollout_accum_jit = jax.jit(self._rollout_step_accum)
+      self._prep_update_jit = jax.jit(self._prep_update)
+      self._mb_core = make_minibatch_step(
+        cfg.algorithm, self._policy_apply, self.optimizer
+      )
+      self._mb_step_jit = jax.jit(self._mb_step_sum)
+      self._rollout_buffers = None
       self._train_iter = self._train_iteration_hostloop
     self._writer = None
 
@@ -153,14 +166,27 @@ class OnPolicyRunner:
     carry, (batch, extras) = jax.lax.scan(self._rollout_step, carry, keys)
     return self._post_rollout(state, carry, batch, extras, rng)
 
+  def _rollout_step_accum(self, carry, key, batch, extras, t):
+    """One rollout step that writes its transition into slot `t` of the
+    preallocated (T, ...) buffers — keeps the host loop free of eager
+    stacking, which the tunneled-TPU relay executes ~200ms per stack
+    (docs/PERF_NOTES.md)."""
+    carry, (tr, extra) = self._rollout_step(carry, key)
+    batch = jax.tree_util.tree_map(lambda buf, x: buf.at[t].set(x), batch, tr)
+    extras = jax.tree_util.tree_map(
+      lambda buf, x: buf.at[t].set(x), extras, extra
+    )
+    return carry, batch, extras
+
   def _train_iteration_hostloop(self, state: RunnerState):
     """Host-loop rollout: per-step jitted calls + one jitted update. Same
     math as the fused path (shared _rollout_step/_post_rollout); only the
     step loop runs on the host. Use via cfg.fused_rollout=False on runtimes
     whose relay executes scan-over-env programs pathologically slowly."""
     cfg = self.cfg
+    T = cfg.num_steps_per_env
     rng, scan_key = jax.random.split(state.rng)
-    keys = jax.random.split(scan_key, cfg.num_steps_per_env)
+    keys = jax.random.split(scan_key, T)
     carry = (
       state.env_state,
       state.obs,
@@ -168,14 +194,109 @@ class OnPolicyRunner:
       state.actor_norm,
       state.critic_norm,
     )
-    trs, extras_list = [], []
-    for t in range(cfg.num_steps_per_env):
-      carry, (tr, extra) = self._rollout_step_jit(carry, keys[t])
-      trs.append(tr)
-      extras_list.append(extra)
-    batch = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *trs)
-    extras = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *extras_list)
-    return self._post_rollout_jit(state, carry, batch, extras, rng)
+    if self._rollout_buffers is None:
+      # Shape probe: trace one step abstractly to allocate (T, ...) buffers.
+      tr_shape, extra_shape = jax.eval_shape(
+        lambda c, k: self._rollout_step(c, k)[1], carry, keys[0]
+      )
+      alloc = lambda s: jnp.zeros((T,) + s.shape, dtype=s.dtype)
+      self._rollout_buffers = (
+        jax.tree_util.tree_map(alloc, tr_shape),
+        jax.tree_util.tree_map(alloc, extra_shape),
+      )
+    batch, extras = self._rollout_buffers
+    for t in range(T):
+      carry, batch, extras = self._rollout_accum_jit(
+        carry, keys[t], batch, extras, jnp.uint32(t)
+      )
+
+    # PPO update as a host loop of per-minibatch jitted steps (the fused
+    # ppo_update's epoch/minibatch scans hit the same relay slow path as
+    # the rollout scan; docs/PERF_NOTES.md).
+    alg = cfg.algorithm
+    env_state, obs, _, _, _ = carry
+    flat, adv_flat, ret_flat, a_norm, c_norm, rollout_metrics = (
+      self._prep_update_jit(state, carry, batch, extras)
+    )
+    n = int(np.prod(batch.reward.shape))
+    mb_size = n // alg.num_mini_batches
+    params = state.train.params
+    opt_state = state.train.opt_state
+    lr = state.train.lr
+    train_rng = state.train.rng
+    msum = {
+      k: jnp.zeros((), jnp.float32)
+      for k in ("kl", "surrogate", "value_loss", "entropy", "loss", "lr")
+    }
+    count = 0
+    for _ in range(alg.num_learning_epochs):
+      train_rng, key = jax.random.split(train_rng)
+      perm = jax.random.permutation(key, n)
+      idxs = perm[: mb_size * alg.num_mini_batches].reshape(
+        alg.num_mini_batches, mb_size
+      )
+      for k in range(alg.num_mini_batches):
+        params, opt_state, lr, msum = self._mb_step_jit(
+          params, opt_state, lr, flat, adv_flat, ret_flat, idxs[k], msum
+        )
+        count += 1
+    train = PpoTrainState(
+      params=params, opt_state=opt_state, lr=lr, rng=train_rng
+    )
+    metrics = dict(rollout_metrics)
+    for k, v in msum.items():
+      metrics[f"Loss/{k}"] = v / count
+    metrics["Policy/noise_std"] = (
+      jnp.mean(params["params"]["std_param"])
+      if "std_param" in params["params"]
+      else jnp.zeros(())
+    )
+    new_state = RunnerState(
+      env_state=env_state,
+      obs=obs,
+      train=train,
+      actor_norm=a_norm,
+      critic_norm=c_norm,
+      rng=rng,
+    )
+    return new_state, metrics
+
+  def _prep_update(self, state, carry, batch, extras):
+    """Jitted prep for the host-loop update: bootstrap value, GAE, flatten,
+    normalizer refresh, and the rollout-side metrics."""
+    from mjlab_tpu.rl.ppo import prepare_update
+
+    cfg = self.cfg
+    env_state, obs, params, a_norm, c_norm = carry
+    last_c_obs = c_norm(obs[self.critic_group].astype(jnp.float32))
+    last_value = self.ac.apply(params, last_c_obs, method=ActorCritic.value)
+    flat, adv_flat, ret_flat = prepare_update(cfg.algorithm, batch, last_value)
+    if cfg.policy.actor_obs_normalization:
+      a_norm = a_norm.update(batch.actor_obs)
+    if cfg.policy.critic_obs_normalization:
+      c_norm = c_norm.update(batch.critic_obs)
+    resets = jnp.sum(extras["reset_count"])
+    metrics = {
+      "Train/mean_step_reward": jnp.mean(extras["reward_mean"]),
+      "Train/resets": resets,
+      "Train/mean_episode_length": jnp.sum(extras["episode_length_sum"])
+      / jnp.clip(resets.astype(jnp.float32), a_min=1.0),
+    }
+    for k, v in extras["log"].items():
+      if k.startswith(("Episode_Reward/", "Episode_Termination/", "Metrics/",
+                       "Curriculum/")):
+        metrics[k] = jnp.mean(v)
+    return flat, adv_flat, ret_flat, a_norm, c_norm, metrics
+
+  def _mb_step_sum(self, params, opt_state, lr, flat, adv_flat, ret_flat,
+                   idx, msum):
+    """One minibatch SGD step + on-device metric accumulation (keeps the
+    host loop free of eager metric stacking)."""
+    params, opt_state, lr, met = self._mb_core(
+      params, opt_state, lr, flat, adv_flat, ret_flat, idx
+    )
+    msum = {k: msum[k] + met[k].astype(jnp.float32) for k in msum}
+    return params, opt_state, lr, msum
 
   def _post_rollout(self, state, carry, batch, extras, rng):
     cfg = self.cfg
@@ -305,13 +426,35 @@ class OnPolicyRunner:
     if self.log_dir is None:
       return
     if self._writer is None:
-      try:
-        from torch.utils.tensorboard import SummaryWriter
+      self._writer = False
+      if self.cfg.logger == "wandb":
+        # wandb sink (reference rl/config.py:85-88); falls back to
+        # tensorboard when the package is absent in this deployment.
+        try:
+          import wandb
 
-        self._writer = SummaryWriter(self.log_dir)
-      except Exception:
-        self._writer = False
-    if self._writer:
+          wandb.init(
+            project=self.cfg.wandb_project,
+            name=self.cfg.run_name or None,
+            dir=self.log_dir,
+            config={"runner": str(self.cfg)},
+            resume="allow",
+          )
+          self._writer = "wandb"
+        except ImportError:
+          print("[runner] wandb not installed; using tensorboard.")
+      if self._writer is False:
+        try:
+          from torch.utils.tensorboard import SummaryWriter
+
+          self._writer = SummaryWriter(self.log_dir)
+        except Exception:
+          self._writer = False
+    if self._writer == "wandb":
+      import wandb
+
+      wandb.log(host_metrics, step=self.iteration if step is None else step)
+    elif self._writer:
       for k, v in host_metrics.items():
         self._writer.add_scalar(k, v, self.iteration if step is None else step)
 
