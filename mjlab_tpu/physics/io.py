@@ -165,6 +165,26 @@ def _transmission_matrices(m: mujoco.MjModel) -> tuple[np.ndarray, np.ndarray]:
   return qmat, vmat
 
 
+def _tendon_matrices(m: mujoco.MjModel) -> tuple[np.ndarray, np.ndarray]:
+  """Per-tendon (ntendon, nq/nv) linear maps for FIXED tendons; spatial
+  tendons (none in the asset zoo) keep zero rows."""
+  qmat = np.zeros((m.ntendon, m.nq))
+  vmat = np.zeros((m.ntendon, m.nv))
+  for t in range(m.ntendon):
+    adr, num = int(m.tendon_adr[t]), int(m.tendon_num[t])
+    if any(
+      int(m.wrap_type[w]) != int(mujoco.mjtWrap.mjWRAP_JOINT)
+      for w in range(adr, adr + num)
+    ):
+      continue
+    for w in range(adr, adr + num):
+      j = int(m.wrap_objid[w])
+      coef = float(m.wrap_prm[w])
+      qmat[t, m.jnt_qposadr[j]] += coef
+      vmat[t, m.jnt_dofadr[j]] += coef
+  return qmat, vmat
+
+
 def _dof_ancestor_mask(m: mujoco.MjModel) -> np.ndarray:
   """mask[i, j] = 1 iff dof j is an ancestor of dof i (or j == i)."""
   nv = m.nv
@@ -257,6 +277,7 @@ def put_model(
   )
 
   trn_qmat, trn_vmat = _transmission_matrices(m)
+  tendon_qmat, tendon_vmat = _tendon_matrices(m)
 
   geom_hull_verts = {
     g: _hull_vertices(m, g)
@@ -306,6 +327,9 @@ def put_model(
     actuator_trnid=m.actuator_trnid.copy(),
     trn_qmat=trn_qmat,
     trn_vmat=trn_vmat,
+    ntendon=m.ntendon,
+    tendon_qmat=tendon_qmat,
+    tendon_vmat=tendon_vmat,
     actuator_gaintype=m.actuator_gaintype.copy(),
     actuator_biastype=m.actuator_biastype.copy(),
     actuator_ctrllimited=m.actuator_ctrllimited.copy(),
@@ -339,6 +363,7 @@ def put_model(
   opt = Option(
     timestep=arr(m.opt.timestep),
     gravity=arr(m.opt.gravity),
+    magnetic=arr(m.opt.magnetic),
     impratio=arr(m.opt.impratio),
     tolerance=arr(m.opt.tolerance),
     ls_tolerance=arr(m.opt.ls_tolerance),

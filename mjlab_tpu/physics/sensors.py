@@ -11,6 +11,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 import mujoco
+import numpy as np
 
 from mjlab_tpu.physics import smooth
 from mjlab_tpu.core import math as mt
@@ -22,14 +23,29 @@ _OBJ = mujoco.mjtObj
 _POS_STAGE = {
   _S.mjSENS_FRAMEPOS, _S.mjSENS_FRAMEQUAT, _S.mjSENS_FRAMEXAXIS,
   _S.mjSENS_FRAMEYAXIS, _S.mjSENS_FRAMEZAXIS, _S.mjSENS_JOINTPOS,
-  _S.mjSENS_SUBTREECOM, _S.mjSENS_ACTUATORPOS,
+  _S.mjSENS_SUBTREECOM, _S.mjSENS_ACTUATORPOS, _S.mjSENS_MAGNETOMETER,
+  _S.mjSENS_CLOCK, _S.mjSENS_TENDONPOS, _S.mjSENS_JOINTLIMITPOS,
+  _S.mjSENS_E_POTENTIAL,
 }
 _VEL_STAGE = {
   _S.mjSENS_GYRO, _S.mjSENS_VELOCIMETER, _S.mjSENS_FRAMELINVEL,
   _S.mjSENS_FRAMEANGVEL, _S.mjSENS_JOINTVEL, _S.mjSENS_SUBTREELINVEL,
-  _S.mjSENS_SUBTREEANGMOM, _S.mjSENS_ACTUATORVEL,
+  _S.mjSENS_SUBTREEANGMOM, _S.mjSENS_ACTUATORVEL, _S.mjSENS_TENDONVEL,
+  _S.mjSENS_JOINTLIMITVEL, _S.mjSENS_E_KINETIC,
 }
-_ACC_STAGE = {_S.mjSENS_ACCELEROMETER, _S.mjSENS_ACTUATORFRC}
+_ACC_STAGE = {
+  _S.mjSENS_ACCELEROMETER, _S.mjSENS_ACTUATORFRC, _S.mjSENS_FRAMELINACC,
+  _S.mjSENS_FRAMEANGACC, _S.mjSENS_JOINTLIMITFRC, _S.mjSENS_JOINTACTFRC,
+}
+
+
+def _limit_row(tp: Topology, joint_id: int) -> int | None:
+  """efc row of a joint's limit constraint (static layout: limit rows follow
+  the dof-friction block in limited_joint_ids order; constraint.py)."""
+  pos = np.nonzero(tp.limited_joint_ids == joint_id)[0]
+  if len(pos) == 0:
+    return None
+  return len(tp.friction_dof_ids) + int(pos[0])
 
 
 def _obj_frame(tp: Topology, d: Data, objtype: int, objid: int):
@@ -174,6 +190,62 @@ def _eval_stage(tp: Topology, m: Model, d: Data, stage: set) -> Data:
       val = d.actuator_velocity[objid : objid + 1]
     elif stype == _S.mjSENS_ACTUATORFRC:
       val = d.actuator_force[objid : objid + 1]
+    elif stype == _S.mjSENS_MAGNETOMETER:
+      _, mat, _ = _obj_frame(tp, d, objtype, objid)
+      val = mat.T @ m.opt.magnetic
+    elif stype == _S.mjSENS_CLOCK:
+      val = d.time.reshape(1)
+    elif stype == _S.mjSENS_TENDONPOS:
+      val = (jnp.asarray(tp.tendon_qmat[objid], dtype=d.qpos.dtype)
+             @ d.qpos).reshape(1)
+    elif stype == _S.mjSENS_TENDONVEL:
+      val = (jnp.asarray(tp.tendon_vmat[objid], dtype=d.qpos.dtype)
+             @ d.qvel).reshape(1)
+    elif stype in (_S.mjSENS_JOINTLIMITPOS, _S.mjSENS_JOINTLIMITVEL,
+                   _S.mjSENS_JOINTLIMITFRC):
+      row = _limit_row(tp, objid)
+      if row is None:
+        val = jnp.zeros(1, dtype=d.qpos.dtype)
+      else:
+        active = d.efc_pos[row] < d.efc_margin[row]
+        if stype == _S.mjSENS_JOINTLIMITPOS:
+          v = d.efc_pos[row] - d.efc_margin[row]
+        elif stype == _S.mjSENS_JOINTLIMITVEL:
+          v = d.efc_J[row] @ d.qvel
+        else:
+          v = d.efc_force[row]
+        val = jnp.where(active, v, 0.0).reshape(1)
+    elif stype == _S.mjSENS_JOINTACTFRC:
+      val = d.qfrc_actuator[int(tp.jnt_dofadr[objid]) :
+                            int(tp.jnt_dofadr[objid]) + 1]
+    elif stype == _S.mjSENS_E_POTENTIAL:
+      # mj_energyPos: gravitational + joint-spring potential.
+      grav = -jnp.sum(m.body_mass * (d.xipos @ m.opt.gravity))
+      dq = d.qpos - m.qpos_spring
+      hinge_slide = np.isin(
+        tp.jnt_type,
+        [int(mujoco.mjtJoint.mjJNT_HINGE), int(mujoco.mjtJoint.mjJNT_SLIDE)],
+      )
+      qadr = tp.jnt_qposadr[hinge_slide]
+      k = m.jnt_stiffness[np.nonzero(hinge_slide)[0]]
+      spring = 0.5 * jnp.sum(k * jnp.square(dq[qadr])) if len(qadr) else 0.0
+      val = (grav + spring).reshape(1)
+    elif stype == _S.mjSENS_E_KINETIC:
+      val = (0.5 * d.qvel @ (d.qM @ d.qvel)).reshape(1)
+    elif stype in (_S.mjSENS_FRAMELINACC, _S.mjSENS_FRAMEANGACC):
+      if cacc is None:
+        cacc = _rne_postconstraint_cacc(tp, m, d)
+      pos, _, body = _obj_frame(tp, d, objtype, objid)
+      if stype == _S.mjSENS_FRAMEANGACC:
+        val = cacc[body, :3]
+      else:
+        origin = d.subtree_com[tp.body_rootid[body]]
+        w = d.cvel[body, :3]
+        val = (
+          cacc[body, 3:]
+          + jnp.cross(cacc[body, :3], pos - origin)
+          + jnp.cross(w, _point_vel(tp, d, body, pos))
+        )
     else:
       raise NotImplementedError(f"sensor type {stype}")
     sensordata = sensordata.at[adr : adr + dim].set(val.reshape(dim))

@@ -102,6 +102,11 @@ class Topology:
   # rows are one-hot; fixed-tendon rows carry the tendon joint coefficients.
   trn_qmat: np.ndarray  # (nu, nq)
   trn_vmat: np.ndarray  # (nu, nv)
+  # Per-tendon linear maps (fixed tendons; spatial tendons get zero rows):
+  # ten_length = tendon_qmat @ qpos, ten_velocity = tendon_vmat @ qvel.
+  ntendon: int
+  tendon_qmat: np.ndarray  # (ntendon, nq)
+  tendon_vmat: np.ndarray  # (ntendon, nv)
   actuator_gaintype: np.ndarray
   actuator_biastype: np.ndarray
   actuator_ctrllimited: np.ndarray
@@ -164,6 +169,7 @@ class Option:
 
   timestep: jax.Array
   gravity: jax.Array  # (3,)
+  magnetic: jax.Array  # (3,) global magnetic field (magnetometer sensors)
   impratio: jax.Array
   tolerance: jax.Array
   ls_tolerance: jax.Array
@@ -242,6 +248,7 @@ class Model:
         opt_axes = Option(
           timestep=0 if "opt.timestep" in batched else None,
           gravity=0 if "opt.gravity" in batched else None,
+          magnetic=None,
           impratio=None,
           tolerance=None,
           ls_tolerance=None,

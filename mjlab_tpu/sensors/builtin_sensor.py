@@ -36,6 +36,18 @@ _SENSOR_TYPES: dict[str, mujoco.mjtSensor] = {
   "actuatorpos": mujoco.mjtSensor.mjSENS_ACTUATORPOS,
   "actuatorvel": mujoco.mjtSensor.mjSENS_ACTUATORVEL,
   "actuatorfrc": mujoco.mjtSensor.mjSENS_ACTUATORFRC,
+  "magnetometer": mujoco.mjtSensor.mjSENS_MAGNETOMETER,
+  "clock": mujoco.mjtSensor.mjSENS_CLOCK,
+  "tendonpos": mujoco.mjtSensor.mjSENS_TENDONPOS,
+  "tendonvel": mujoco.mjtSensor.mjSENS_TENDONVEL,
+  "jointlimitpos": mujoco.mjtSensor.mjSENS_JOINTLIMITPOS,
+  "jointlimitvel": mujoco.mjtSensor.mjSENS_JOINTLIMITVEL,
+  "jointlimitfrc": mujoco.mjtSensor.mjSENS_JOINTLIMITFRC,
+  "jointactuatorfrc": mujoco.mjtSensor.mjSENS_JOINTACTFRC,
+  "framelinacc": mujoco.mjtSensor.mjSENS_FRAMELINACC,
+  "frameangacc": mujoco.mjtSensor.mjSENS_FRAMEANGACC,
+  "e_potential": mujoco.mjtSensor.mjSENS_E_POTENTIAL,
+  "e_kinetic": mujoco.mjtSensor.mjSENS_E_KINETIC,
 }
 
 _OBJ_TYPES: dict[str, mujoco.mjtObj] = {
@@ -45,6 +57,7 @@ _OBJ_TYPES: dict[str, mujoco.mjtObj] = {
   "geom": mujoco.mjtObj.mjOBJ_GEOM,
   "joint": mujoco.mjtObj.mjOBJ_JOINT,
   "actuator": mujoco.mjtObj.mjOBJ_ACTUATOR,
+  "tendon": mujoco.mjtObj.mjOBJ_TENDON,
 }
 
 # Sensor kinds that require an object reference and which obj kinds they allow.
@@ -67,6 +80,15 @@ _REQUIRED_OBJ: dict[str, tuple[str, ...]] = {
   "actuatorpos": ("actuator",),
   "actuatorvel": ("actuator",),
   "actuatorfrc": ("actuator",),
+  "magnetometer": ("site",),
+  "tendonpos": ("tendon",),
+  "tendonvel": ("tendon",),
+  "jointlimitpos": ("joint",),
+  "jointlimitvel": ("joint",),
+  "jointlimitfrc": ("joint",),
+  "jointactuatorfrc": ("joint",),
+  "framelinacc": ("site", "body", "xbody", "geom"),
+  "frameangacc": ("site", "body", "xbody", "geom"),
 }
 
 
@@ -112,7 +134,13 @@ class BuiltinSensor(Sensor):
     assert isinstance(cfg, BuiltinSensorCfg)
     if cfg.sensor_type not in _SENSOR_TYPES:
       raise ValueError(f"Unsupported builtin sensor type '{cfg.sensor_type}'")
-    allowed = _REQUIRED_OBJ[cfg.sensor_type]
+    allowed = _REQUIRED_OBJ.get(cfg.sensor_type)
+    if allowed is None:
+      # Global sensors (clock, e_potential, e_kinetic) take no object.
+      sensor = spec.add_sensor(
+        name=cfg.name, type=_SENSOR_TYPES[cfg.sensor_type]
+      )
+      return
     if cfg.obj is None or cfg.obj.type not in allowed:
       raise ValueError(
         f"Sensor '{cfg.name}' ({cfg.sensor_type}) requires obj of type {allowed}"
