@@ -135,6 +135,15 @@ def contact_slot_row_adr(tp: Topology, cone: int) -> np.ndarray:
   return nf + nl + st.slot_row_adr
 
 
+def elliptic_cone_slots(tp: Topology) -> tuple[np.ndarray, np.ndarray]:
+  """(slot indices, first-row addresses) of condim≥3 contacts under the
+  elliptic cone — the slots the solver treats as coupled cone constraints."""
+  st = slot_tables(tp, ConeType.ELLIPTIC)
+  nf, nl, _ = efc_row_types(tp)
+  idx = np.nonzero(st.condim >= 3)[0]
+  return idx, nf + nl + st.slot_row_adr[idx]
+
+
 def contact_forces(tp: Topology, m: Model, d: Data) -> jax.Array:
   """Per-slot contact force in the contact frame [normal, t1, t2] — (C, 3).
 
@@ -155,6 +164,11 @@ def contact_forces(tp: Topology, m: Model, d: Data) -> jax.Array:
     if cd == 1:
       normal = d.efc_force[a]
       f = jnp.stack([normal, jnp.zeros_like(normal), jnp.zeros_like(normal)], -1)
+    elif m.opt.cone == ConeType.ELLIPTIC:
+      # Elliptic rows are already contact-frame force components.
+      rows = d.efc_force[a[:, None] + np.arange(cd)[None]]  # (n, cd)
+      pad = jnp.zeros((len(idx), 3 - (cd - 1) - 1), dtype=dtype)
+      f = jnp.concatenate([rows, pad], axis=-1) if cd < 3 else rows
     else:
       lam = d.efc_force[a[:, None] + np.arange(2 * (cd - 1))[None]]  # (n, 2(cd-1))
       normal = jnp.sum(lam, axis=-1)
@@ -247,8 +261,62 @@ def make_constraint(tp: Topology, m: Model, d: Data) -> Data:
 
     invweight = m.body_invweight0[st.b1, 0] + m.body_invweight0[st.b2, 0]
     include = c.dist < c.includemargin
-    if m.opt.cone != ConeType.PYRAMIDAL:
-      raise NotImplementedError("elliptic cone (planned)")
+
+    if m.opt.cone == ConeType.ELLIPTIC:
+      # Elliptic cone rows: [normal | friction dims] per contact. The normal
+      # row uses the soft-constraint model; friction rows share its
+      # impedance scaled by impratio·(μ_i/μ_1)² (matches MuJoCo's efc_D —
+      # verified empirically via mj_constraintUpdate probing) and have
+      # zero reference acceleration.
+      for cd in sorted(set(st.condim.tolist())):
+        idx = np.nonzero(st.condim == cd)[0]
+        if cd > 3:
+          raise NotImplementedError("condim > 3 (torsional/rolling friction)")
+        n_rows, inc, iw = rows_nt[idx, 0], include[idx], invweight[idx]
+        pos_g = c.dist[idx]
+        mar_g = c.includemargin[idx]
+        D_n, aref_n, _ = _rows_from(
+          n_rows, pos_g, mar_g, c.solref[idx], c.solimp[idx], iw, d.qvel, inc
+        )
+        if cd == 1:
+          J_parts.append(n_rows)
+          D_parts.append(D_n)
+          aref_parts.append(aref_n)
+          pos_parts.append(pos_g)
+          margin_parts.append(mar_g)
+          fl_parts.append(jnp.zeros_like(D_n))
+          continue
+        mu0 = jnp.maximum(c.friction[idx, 0], _MINVAL)
+        # Friction rows: damping-only reference acceleration −b·vel (same b
+        # as the normal row's solref; no stiffness term — matches MuJoCo's
+        # efc_aref for elliptic friction rows).
+        _, b_g, _ = _kbi(c.solref[idx], c.solimp[idx], pos_g - mar_g)
+        Js, Ds, arefs = [n_rows], [D_n], [aref_n]
+        for f in range(1, cd):
+          J_f = rows_nt[idx, f]
+          Js.append(J_f)
+          ratio = c.friction[idx, f - 1] / mu0
+          Ds.append(D_n * m.opt.impratio * ratio * ratio)
+          arefs.append(-b_g * (J_f @ d.qvel))
+        # Interleave per contact: rows of one contact are contiguous.
+        J = jnp.stack(Js, axis=1).reshape(len(idx) * cd, nv)
+        D = jnp.stack(Ds, axis=1).reshape(-1)
+        aref = jnp.stack(arefs, axis=1).reshape(-1)
+        rep = lambda x: jnp.repeat(x, cd, axis=0)
+        J_parts.append(J)
+        D_parts.append(D)
+        aref_parts.append(aref)
+        pos_parts.append(rep(pos_g))
+        margin_parts.append(rep(mar_g))
+        fl_parts.append(jnp.zeros_like(D))
+      return d.replace(
+        efc_J=jnp.concatenate(J_parts, axis=0),
+        efc_D=jnp.concatenate(D_parts),
+        efc_aref=jnp.concatenate(aref_parts),
+        efc_pos=jnp.concatenate(pos_parts),
+        efc_margin=jnp.concatenate(margin_parts),
+        efc_frictionloss=jnp.concatenate(fl_parts),
+      )
 
     for cd in sorted(set(st.condim.tolist())):
       idx = np.nonzero(st.condim == cd)[0]

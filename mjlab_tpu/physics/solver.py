@@ -4,23 +4,36 @@ Minimizes over qacc x:
   Φ(x) = 0.5 (x − a0)ᵀ M (x − a0) + Σ_i cost_i(J_i x − aref_i)
 with a0 = qacc_smooth;  per-row costs:
   * one-sided quadratic (limits, pyramidal contact facets): 0.5 D r² iff r < 0
-  * Huber (dof friction rows): quadratic inside |Dr| ≤ fl, linear outside.
+  * Huber (dof friction rows): quadratic inside |Dr| ≤ fl, linear outside
+  * elliptic cone (condim≥3 contacts under cone="elliptic"): the squared
+    distance to the negated friction cone in the D-whitened metric —
+    zones top (no force) / middle (projection onto the cone surface) /
+    bottom (full quadratic), matching MuJoCo's mj_constraintUpdate
+    (validated empirically; see tests/test_physics_elliptic.py).
 
-TPU-first shape: dense (nefc, nv) Jacobian, Hessian M + Jᵀ diag(D·active) J as
-one batched matmul, batched Cholesky solve, exact 1-D Newton linesearch on the
-piecewise-quadratic line restriction — everything lockstep across envs with a
-fixed iteration count (the reference's ls_parallel/iterations knobs map to
-static loop bounds here; reference sim/sim.py:91,117).
+TPU-first shape: dense (nefc, nv) Jacobian, Hessian M + Jᵀ diag(D·active) J
+plus per-cone Jᵀ B J blocks as batched matmuls, batched Cholesky solve,
+exact 1-D Newton linesearch on the smooth line restriction — everything
+lockstep across envs with a fixed iteration count (the reference's
+ls_parallel/iterations knobs map to static loop bounds here; reference
+sim/sim.py:91,117).
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from mjlab_tpu.physics import smooth
-from mjlab_tpu.physics.constraint import efc_row_types
-from mjlab_tpu.physics.types import Data, Model, Topology
+from mjlab_tpu.physics.constraint import (
+  efc_row_types,
+  elliptic_cone_slots,
+  slot_tables,
+)
+from mjlab_tpu.physics.types import ConeType, Data, Model, Topology
+
+_EPS = 1e-15
 
 
 def _row_masks(tp: Topology, dtype):
@@ -46,6 +59,85 @@ def solve(tp: Topology, m: Model, d: Data) -> Data:
   is_fric = _row_masks(tp, dtype)
   a0 = d.qacc_smooth
 
+  # Elliptic cone bookkeeping (static). `reg` masks rows handled by the
+  # regular per-row cost; cone rows are handled per slot.
+  if m.opt.cone == ConeType.ELLIPTIC:
+    cone_slot_idx, cone_adr = elliptic_cone_slots(tp)
+  else:
+    cone_slot_idx = np.zeros(0, dtype=int)
+    cone_adr = np.zeros(0, dtype=int)
+  S = len(cone_slot_idx)
+  reg_np = np.ones(tp.nefc)
+  if S:
+    st = slot_tables(tp, m.opt.cone)
+    for k, a in enumerate(cone_adr):
+      reg_np[a : a + st.slot_row_num[cone_slot_idx[k]]] = 0.0
+  reg = jnp.asarray(reg_np, dtype=dtype)
+  if S:
+    cone_rows = cone_adr[:, None] + np.arange(3)[None]  # (S, 3) row indices
+    mu0 = d.contact.friction[cone_slot_idx, 0]
+    Dn = D[cone_rows[:, 0]]
+    D1 = D[cone_rows[:, 1]]
+    D2 = D[cone_rows[:, 2]]
+    cone_active = Dn > 0
+    safe_Dn = jnp.maximum(Dn, _EPS)
+    s1 = jnp.sqrt(jnp.maximum(D1, _EPS) / safe_Dn)
+    s2 = jnp.sqrt(jnp.maximum(D2, _EPS) / safe_Dn)
+    mu = mu0 * jnp.sqrt(safe_Dn / jnp.maximum(D1, _EPS))
+    one_mu2 = 1.0 + mu * mu
+    J_cone = J[cone_rows]  # (S, 3, nv)
+
+  def _cone_zones(u):
+    """u: (S, 3) cone-row residuals → (a, T, ut_w, top, bottom)."""
+    N = u[:, 0]
+    ut_w = u[:, 1:] * jnp.stack([s1, s2], axis=-1)  # whitened tangentials
+    T = jnp.sqrt(jnp.sum(ut_w * ut_w, axis=-1) + _EPS)
+    top = mu * T <= N
+    bottom = T <= -mu * N
+    a = (mu * T - N) / one_mu2
+    return N, ut_w, T, top, bottom, a
+
+  def cone_cost(u):
+    N, ut_w, T, top, bottom, a = _cone_zones(u)
+    c_bot = 0.5 * (Dn * N * N + D1 * u[:, 1] ** 2 + D2 * u[:, 2] ** 2)
+    c_mid = 0.5 * Dn * a * a * one_mu2
+    c = jnp.where(top, 0.0, jnp.where(bottom, c_bot, c_mid))
+    return jnp.sum(jnp.where(cone_active, c, 0.0))
+
+  def cone_force(u):
+    """Per-row cone forces (S, 3) in row space."""
+    N, ut_w, T, top, bottom, a = _cone_zones(u)
+    f_bot = -jnp.stack([Dn * u[:, 0], D1 * u[:, 1], D2 * u[:, 2]], axis=-1)
+    fn_mid = Dn * a
+    # Tangential: −μ f_n in the whitened direction, mapped back per row:
+    # f_i = f̃_i s_i with f̃ = −μ fn ut_w/T.
+    ft_mid = -mu[:, None] * fn_mid[:, None] * ut_w / T[:, None]
+    ft_mid = ft_mid * jnp.stack([s1, s2], axis=-1)
+    f_mid = jnp.concatenate([fn_mid[:, None], ft_mid], axis=-1)
+    f = jnp.where(top[:, None], 0.0, jnp.where(bottom[:, None], f_bot, f_mid))
+    return jnp.where(cone_active[:, None], f, 0.0)
+
+  def cone_hess(u):
+    """Per-slot (S, 3, 3) cost Hessians B (row space, exact)."""
+    N, ut_w, T, top, bottom, a = _cone_zones(u)
+    s = jnp.stack([s1, s2], axis=-1)  # (S, 2)
+    # grad a: [−1, μ s_i² u_i / T] / (1+μ²)   (u_i unwhitened; s²u = s·ut_w)
+    g_t = mu[:, None] * s * ut_w / T[:, None] / one_mu2[:, None]
+    g = jnp.concatenate([(-1.0 / one_mu2)[:, None], g_t], axis=-1)  # (S, 3)
+    gg = g[:, :, None] * g[:, None, :]
+    # ∇²a: tangential 2×2 block μ/(1+μ²)·(S²/T − (S²u)(S²u)ᵀ/T³).
+    s2u = s * ut_w  # = S² u_t (whitened once more)
+    t_outer = s2u[:, :, None] * s2u[:, None, :] / (T ** 3)[:, None, None]
+    t_diag = jax.vmap(jnp.diag)(s * s) / T[:, None, None]
+    hess_a_t = (mu / one_mu2)[:, None, None] * (t_diag - t_outer)
+    hess_a = jnp.zeros_like(gg).at[:, 1:, 1:].set(hess_a_t)
+    B_mid = (Dn * one_mu2)[:, None, None] * (gg + a[:, None, None] * hess_a)
+    B_bot = jax.vmap(jnp.diag)(jnp.stack([Dn, D1, D2], axis=-1))
+    B = jnp.where(
+      top[:, None, None], 0.0, jnp.where(bottom[:, None, None], B_bot, B_mid)
+    )
+    return jnp.where(cone_active[:, None, None], B, 0.0)
+
   def residual(x):
     return J @ x - aref
 
@@ -58,11 +150,14 @@ def solve(tp: Topology, m: Model, d: Data) -> Data:
       outside, fl * jnp.abs(r) - 0.5 * fl * lin_thresh, quad
     )
     one_sided = jnp.where(r < 0, quad, 0.0)
-    return jnp.where(is_fric > 0, huber, one_sided)
+    return jnp.where(is_fric > 0, huber, one_sided) * reg
 
   def total_cost(x):
     dx = x - a0
-    return 0.5 * dx @ (d.qM @ dx) + jnp.sum(row_cost(residual(x)))
+    c = 0.5 * dx @ (d.qM @ dx) + jnp.sum(row_cost(residual(x)))
+    if S:
+      c = c + cone_cost(residual(x)[cone_rows])
+    return c
 
   # Warmstart selection (mj compares smooth vs warmstart cost).
   x = jnp.where(
@@ -74,14 +169,17 @@ def solve(tp: Topology, m: Model, d: Data) -> Data:
     quad_f = -D * r
     huber_f = jnp.clip(quad_f, -fl, fl)
     one_sided_f = jnp.where(r < 0, quad_f, 0.0)
-    return jnp.where(is_fric > 0, huber_f, one_sided_f)
+    f = jnp.where(is_fric > 0, huber_f, one_sided_f) * reg
+    if S:
+      f = f.at[cone_rows.reshape(-1)].set(cone_force(r[cone_rows]).reshape(-1))
+    return f
 
   def row_hess(r):
-    """∂²cost/∂r² per row (activation weight for the Gauss-Newton Hessian)."""
+    """∂²cost/∂r² per row (regular rows only; cone rows use B blocks)."""
     lin_thresh = fl / jnp.maximum(D, 1e-30)
     huber_h = jnp.where(jnp.abs(r) <= lin_thresh, D, 0.0)
     one_sided_h = jnp.where(r < 0, D, 0.0)
-    return jnp.where(is_fric > 0, huber_h, one_sided_h)
+    return jnp.where(is_fric > 0, huber_h, one_sided_h) * reg
 
   eye = jnp.eye(tp.nv, dtype=dtype)
 
@@ -91,6 +189,9 @@ def solve(tp: Topology, m: Model, d: Data) -> Data:
     grad = d.qM @ (x - a0) - J.T @ force
     w = row_hess(r)
     H = d.qM + (J.T * w[None, :]) @ J
+    if S:
+      B = cone_hess(r[cone_rows])
+      H = H + jnp.einsum("siv,sij,sjw->vw", J_cone, B, J_cone)
     # Small regularization guards rank-deficient active sets in f32.
     L = jnp.linalg.cholesky(H + 1e-10 * eye)
     y = jax.scipy.linalg.solve_triangular(L, grad, lower=True)
@@ -101,16 +202,35 @@ def solve(tp: Topology, m: Model, d: Data) -> Data:
     mp = d.qM @ p
     p_m_dx = p @ (d.qM @ (x - a0))
     p_m_p = p @ mp
+    if S:
+      jv_cone = jv[cone_rows]  # (S, 3)
 
     def ls_iter(_, alpha):
       ra = r + alpha * jv
       dphi = p_m_dx + alpha * p_m_p - jnp.sum(row_force(ra) * jv)
       ddphi = p_m_p + jnp.sum(row_hess(ra) * jv * jv)
+      if S:
+        B = cone_hess(ra[cone_rows])
+        ddphi = ddphi + jnp.einsum("si,sij,sj->", jv_cone, B, jv_cone)
       return alpha - dphi / jnp.maximum(ddphi, 1e-30)
 
     alpha = jax.lax.fori_loop(
       0, m.opt.ls_iterations, ls_iter, jnp.asarray(1.0, dtype=dtype)
     )
+    if S:
+      # Safeguard (elliptic only): the 1-D Newton can diverge on the cone
+      # landscape; evaluate a small candidate set and keep the best
+      # improving step. Pyramidal's line restriction is piecewise quadratic
+      # and the plain Newton linesearch is already exact there — keep the
+      # hot path free of the extra cost evaluations.
+      best_cost, best_alpha = total_cost(x), jnp.asarray(0.0, dtype=dtype)
+      for cand in (alpha, jnp.asarray(1.0, dtype=dtype), 0.5, 0.25, 0.1, 0.01):
+        ca = jnp.asarray(cand, dtype=dtype)
+        c = total_cost(x + ca * p)
+        better = c < best_cost
+        best_cost = jnp.where(better, c, best_cost)
+        best_alpha = jnp.where(better, ca, best_alpha)
+      return x + best_alpha * p
     # Reject non-improving steps (keeps lockstep envs safe post-convergence).
     x_new = x + alpha * p
     return jnp.where(total_cost(x_new) < total_cost(x), x_new, x)
