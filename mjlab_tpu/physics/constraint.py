@@ -258,6 +258,17 @@ def make_constraint(tp: Topology, m: Model, d: Data) -> Data:
     )  # (C, nv)
     jacp = jac * dmask[:, :, None]
     rows_nt = jnp.einsum("cij,cvj->civ", c.frame, jacp)  # (C, 3, nv)
+    # Rotational rows (torsional/rolling friction, condim 4/6): contact-frame
+    # components of the relative angular Jacobian.
+    jacr = ang[None] * dmask[:, :, None]  # (C, nv, 3)
+    rows_rot = jnp.einsum("cij,cvj->civ", c.frame, jacr)  # (C, 3, nv)
+
+    def friction_axis_rows(idx, f):
+      """Row Jacobian for friction axis f (1..5): tangentials then
+      torsion/rolling (MuJoCo axis order; friction[f-1] is its μ)."""
+      if f < 3:
+        return rows_nt[idx, f]
+      return rows_rot[idx, f - 3]
 
     invweight = m.body_invweight0[st.b1, 0] + m.body_invweight0[st.b2, 0]
     include = c.dist < c.includemargin
@@ -293,7 +304,7 @@ def make_constraint(tp: Topology, m: Model, d: Data) -> Data:
         _, b_g, _ = _kbi(c.solref[idx], c.solimp[idx], pos_g - mar_g)
         Js, Ds, arefs = [n_rows], [D_n], [aref_n]
         for f in range(1, cd):
-          J_f = rows_nt[idx, f]
+          J_f = friction_axis_rows(idx, f)
           Js.append(J_f)
           ratio = c.friction[idx, f - 1] / mu0
           Ds.append(D_n * m.opt.impratio * ratio * ratio)
@@ -336,14 +347,19 @@ def make_constraint(tp: Topology, m: Model, d: Data) -> Data:
         fl_parts.append(fl)
       else:
         nfacet = 2 * (cd - 1)
-        # Facets: for each tangent dim f: n ± mu_f t_f.
+        # Facets: for each friction axis f: n ± mu_f·J_f (translational
+        # tangents for f<3, rotational torsion/rolling rows for f>=3).
+        # MuJoCo derives every facet's diagApprox from the SLIDING friction
+        # coefficient mu_1 (all condim-6 facets share one efc_D; verified
+        # empirically), so dg uses friction[0] regardless of axis.
+        mu0 = c.friction[idx, 0]
+        dg = 2.0 * mu0 * mu0 * (1.0 + mu0 * mu0) * iw
         Js, diags = [], []
         for f in range(1, cd):
           mu = c.friction[idx, f - 1]
-          t_rows = rows_nt[idx, f]
+          t_rows = friction_axis_rows(idx, f)
           Js.append(n_rows + mu[:, None] * t_rows)
           Js.append(n_rows - mu[:, None] * t_rows)
-          dg = 2.0 * mu * mu * (1.0 + mu * mu) * iw
           diags.extend([dg, dg])
         J = jnp.stack(Js, axis=1).reshape(len(idx) * nfacet, nv)
         diag = jnp.stack(diags, axis=1).reshape(-1)
