@@ -10,6 +10,7 @@ after startup events, manager_based_env.py:118-130) correspond to trace time.
 
 from __future__ import annotations
 
+import dataclasses
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -32,14 +33,39 @@ from mjlab_tpu.sim import Simulation, SimulationCfg
 
 @struct.dataclass
 class EnvState:
-  """Explicit env-state pytree (the analog of all reference GPU buffers)."""
+  """Explicit env-state pytree (the analog of all reference GPU buffers).
 
-  data: physics.Data  # batched (B, ...)
-  model: Any  # physics.Model (leaves may be per-env batched for DR)
+  SLIM by construction: `data` carries only the true physics state (qpos,
+  qvel, ctrl, applied forces, warmstart, mocap, time, qacc) — derived
+  quantities (kinematics, mass matrix, contacts, efc rows, sensordata) are
+  None and recomputed inside the step; `model` is a dict holding ONLY the
+  domain-randomized leaves (static model parameters inline into the traced
+  program as numpy literals). This keeps the step program's argument/result
+  count small — on relay-style runtimes per-leaf marshaling dominates the
+  step wall clock (docs/PERF_NOTES.md: 162-leaf state = 0.55 ms/step vs
+  0.14 ms for the same compute with one output)."""
+
+  data: physics.Data  # batched (B, ...); derived leaves None
+  model: dict  # DR-batched model leaves only ({} when no runtime DR)
   rng: jax.Array
   episode_length: jax.Array  # (B,) int32
   common_step_counter: jax.Array  # () int32
   ms: dict  # manager namespaces (nested dicts of arrays)
+
+
+# Data leaves threaded through the jitted step: the true physics state
+# (everything else is write-before-read inside forward() and stays out of
+# the pytree), PLUS contact/qM/efc_J. Those three are derived, but dropping
+# them from the program outputs makes XLA's TPU codegen emit a kernel that
+# faults at 4096 envs (bisected empirically; fine at 1024, fine with any of
+# them threaded) — and keeping them measured FASTER than the fully slim
+# variant anyway (0.32 vs n/a ms/step; docs/PERF_NOTES.md). They also keep
+# contacts/mass-matrix readable from host code after a step.
+_DATA_STATE_FIELDS = (
+  "time", "qpos", "qvel", "ctrl", "qfrc_applied", "xfrc_applied",
+  "mocap_pos", "mocap_quat", "qacc_warmstart", "qacc", "sensordata",
+  "contact", "qM", "efc_J",
+)
 
 
 @dataclass(kw_only=True)
@@ -75,6 +101,7 @@ class ManagerBasedEnv:
     self._rng = jax.random.key(seed)
     self._model = self.sim.model
     self._data = self.sim.make_data()
+    self._init_slim_spec()
     self._ms: dict[str, dict] = {}
     self._fwd = None  # built after startup events (DR may batch model leaves)
 
@@ -153,30 +180,82 @@ class ManagerBasedEnv:
   # -- physics helpers -----------------------------------------------------------
 
   def _build_physics_fns(self) -> None:
-    axes = self.sim.model_axes
+    """Physics closures: the static model part (numpy leaves) is closed
+    over and inlines as literals; only DR-batched leaves are arguments."""
     tp = self.tp
-    self._step_physics = jax.vmap(
-      lambda m_, d_: physics.step(tp, m_, d_), in_axes=(axes, 0)
-    )
-    self._forward_physics = jax.vmap(
-      lambda m_, d_: physics.forward(tp, m_, d_), in_axes=(axes, 0)
+    dyn = tuple(sorted(self.sim.batched_fields))
+    np_model = (
+      self.sim.model.replace(**{f: None for f in dyn}) if dyn else self.sim.model
     )
     from mjlab_tpu.physics.constraint import contact_forces
 
-    self._contact_forces_fn = jax.vmap(
-      lambda m_, d_: contact_forces(tp, m_, d_), in_axes=(axes, 0)
-    )
+    def make(fn):
+      def one(dyn_leaves, d_):
+        m_ = np_model.replace(**dyn_leaves) if dyn_leaves else np_model
+        return fn(tp, m_, d_)
+
+      return jax.vmap(one, in_axes=({f: 0 for f in dyn}, 0))
+
+    self._dyn_model_fields = dyn
+    self._step_physics_fn = make(physics.step)
+    self._forward_physics_fn = make(physics.forward)
+    self._contact_forces_raw = make(contact_forces)
+
+  def _dyn_model(self) -> dict:
+    return {f: getattr(self._model, f) for f in self._dyn_model_fields}
+
+  def _step_physics(self, _model_unused, d):
+    return self._step_physics_fn(self._dyn_model(), d)
+
+  def _forward_physics(self, _model_unused, d):
+    return self._forward_physics_fn(self._dyn_model(), d)
+
+  def _contact_forces_fn(self, _model_unused, d):
+    return self._contact_forces_raw(self._dyn_model(), d)
 
   def _refresh_forward(self) -> None:
     self._build_physics_fns()
     self._data = self._forward_physics(self.model, self._data)
 
+  # -- slim state pack/unpack --------------------------------------------------
+
+  def _init_slim_spec(self) -> None:
+    """Shape/dtype spec for Data leaves dropped from the threaded state."""
+    full = self._data
+    self._derived_fields = tuple(
+      f.name
+      for f in dataclasses.fields(physics.Data)
+      if f.name not in _DATA_STATE_FIELDS
+    )
+    self._derived_spec = {
+      f: jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), getattr(full, f)
+      )
+      for f in self._derived_fields
+    }
+
+  def _slim_data(self, data: physics.Data) -> physics.Data:
+    return data.replace(**{f: None for f in self._derived_fields})
+
+  def _unslim_data(self, data: physics.Data) -> physics.Data:
+    if not self._derived_fields:
+      return data
+    if getattr(data, self._derived_fields[0]) is not None:
+      return data  # already full (eager init path)
+    zeros = {
+      f: jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), self._derived_spec[f]
+      )
+      for f in self._derived_fields
+    }
+    return data.replace(**zeros)
+
   # -- state pack/unpack ------------------------------------------------------------
 
   def _pack_state(self) -> EnvState:
     return EnvState(
-      data=self._data,
-      model=self._model,
+      data=self._slim_data(self._data),
+      model={f: getattr(self._model, f) for f in self._dyn_model_fields},
       rng=self._rng,
       episode_length=self._episode_length,
       common_step_counter=self._common_step_counter,
@@ -188,8 +267,13 @@ class ManagerBasedEnv:
     # (the functional analog of the reference's env.extras["log"] writes from
     # inside reward terms, e.g. tasks/velocity/mdp/rewards.py:143).
     self.step_log: dict = {}
+    # Derived Data leaves stay None until the first physics call writes
+    # them (write-before-read throughout forward()); no zero buffers are
+    # materialized for them.
     self._data = state.data
-    self._model = state.model
+    self._model = (
+      self.sim.model.replace(**state.model) if state.model else self.sim.model
+    )
     self._rng = state.rng
     self._episode_length = state.episode_length
     self._common_step_counter = state.common_step_counter

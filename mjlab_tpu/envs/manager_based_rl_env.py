@@ -180,6 +180,10 @@ class ManagerBasedRlEnv(ManagerBasedEnv, gym.Env):
 
   def _reset_impl(self, state: EnvState):
     self._begin(state)
+    # Populate derived kinematics first: reset-time readers (curriculum
+    # terms, RSI metrics) see the end-of-episode state, and the threaded
+    # state carries no derived leaves (slim threading; manager_based_env).
+    self._data = self._forward_physics(self.model, self._data)
     mask = jnp.ones(self.num_envs, dtype=bool)
     self._reset_masked(mask)
     self._data = self._forward_physics(self.model, self._data)

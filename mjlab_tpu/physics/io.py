@@ -358,7 +358,13 @@ def put_model(
   )
 
   def arr(x):
-    return jnp.asarray(np.asarray(x), dtype=dtype)
+    # Model leaves stay NUMPY: physics functions close over / receive them
+    # and numpy inputs inline as HLO literals at trace time — zero runtime
+    # argument marshaling, and safe on runtimes where captured DEVICE
+    # constants trigger a slow mode (docs/PERF_NOTES.md). Leaves selected
+    # for domain randomization are promoted to batched device arrays by
+    # Simulation.expand_model_fields.
+    return np.asarray(x, dtype=dtype)
 
   opt = Option(
     timestep=arr(m.opt.timestep),
@@ -445,7 +451,7 @@ def make_data(tp: Topology, model: Model, dtype=None) -> Data:
   eye3 = jnp.eye(3, dtype=dtype)
   return Data(
     time=z(),
-    qpos=model.qpos0.astype(dtype),
+    qpos=jnp.asarray(model.qpos0, dtype=dtype),
     qvel=z(tp.nv),
     ctrl=z(tp.nu),
     qfrc_applied=z(tp.nv),

@@ -125,6 +125,11 @@ class Simulation:
   def model_axes(self):
     return self.model.axes(self._batched_fields)
 
+  @property
+  def batched_fields(self) -> set[str]:
+    """Model leaves carrying a per-env axis (domain randomization)."""
+    return set(self._batched_fields)
+
   # -- model expansion (domain randomization) --------------------------------
 
   def expand_model_fields(self, fields: tuple[str, ...]) -> None:
