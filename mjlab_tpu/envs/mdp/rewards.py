@@ -45,8 +45,8 @@ def joint_pos_limits(env, asset_cfg: SceneEntityCfg = _DEFAULT) -> jax.Array:
   asset = env.scene[asset_cfg.name]
   soft = asset.data.soft_joint_pos_limits
   q = asset.data.joint_pos[:, asset_cfg.joint_ids]
-  out = -jnp.clip(q - soft[:, asset_cfg.joint_ids, 0], a_max=0.0)
-  out = out + jnp.clip(q - soft[:, asset_cfg.joint_ids, 1], a_min=0.0)
+  out = -jnp.clip(q - soft[:, asset_cfg.joint_ids, 0], max=0.0)
+  out = out + jnp.clip(q - soft[:, asset_cfg.joint_ids, 1], min=0.0)
   return jnp.sum(out, axis=1)
 
 
@@ -75,7 +75,7 @@ class posture:
 def electrical_power_cost(env, asset_cfg: SceneEntityCfg = _DEFAULT) -> jax.Array:
   asset = env.scene[asset_cfg.name]
   mech = asset.data.actuator_force * asset.data.joint_vel
-  return jnp.sum(jnp.clip(mech, a_min=0.0), axis=1)
+  return jnp.sum(jnp.clip(mech, min=0.0), axis=1)
 
 
 def flat_orientation_l2(env, asset_cfg: SceneEntityCfg = _DEFAULT) -> jax.Array:

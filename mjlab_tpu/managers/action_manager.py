@@ -102,6 +102,10 @@ class ActionManager(ManagerBase):
   # -- step ----------------------------------------------------------------------
 
   def process_action(self, action) -> None:
+    # Cast at the env boundary: callers (gym, tests under x64, torch interop)
+    # may hand f64 actions; everything downstream is env.dtype and a f64
+    # value reaching a f32 scatter is a future JAX hard error.
+    action = jnp.asarray(action, dtype=self._env.dtype)
     ns = self._env.ns(self.NS)
     ns["prev_action"] = ns["action"]
     ns["action"] = action

@@ -21,7 +21,8 @@ import jax.numpy as jnp
 import mujoco
 import numpy as np
 
-from mjlab_tpu.physics.types import Contact, Data, Model, Topology
+from mjlab_tpu.physics import convex as _cvx
+from mjlab_tpu.physics.types import Contact, Data, Model, TerrainGroup, Topology
 
 _G = mujoco.mjtGeom
 
@@ -285,7 +286,15 @@ def _sphere_hfield_contacts(c_local, r, tris):
     n_tri = jnp.cross(tri[1] - tri[0], tri[2] - tri[0])
     n_tri = n_tri / jnp.maximum(jnp.linalg.norm(n_tri), 1e-12)
     n_tri = jnp.where(n_tri[2] < 0, -n_tri, n_tri)  # up-facing
-    below = jnp.dot(n_tri, delta) < 0
+    hn = jnp.dot(n_tri, delta)
+    # Negative (penetrating) distance only counts when the closest point is
+    # the in-plane projection of the center — i.e. the center is below THIS
+    # triangle's interior. A point below the raster also sits "below the
+    # plane" of every neighboring triangle in the cell block, at a large
+    # *lateral* closest-point distance; counting those as −|delta| made a
+    # 3 mm penetration read as −0.22 m and blew up the solver.
+    lateral_sq = jnp.sum((delta - hn * n_tri) ** 2)
+    below = (hn < 0) & (lateral_sq < 1e-12 + 1e-9 * dn * dn)
     n = jnp.where(dn > 1e-9, delta / jnp.maximum(dn, 1e-12), n_tri)
     n = jnp.where(below, n_tri, n)
     signed = jnp.where(below, -dn, dn)
@@ -308,6 +317,93 @@ def _plane_convex(p1, m1, p2, m2, verts):
   dist = -neg
   pos = world[idx] - n[None, :] * (0.5 * dist)[:, None]
   return dist, pos, jnp.tile(_normal_frame(n)[None], (4, 1, 1))
+
+
+# ---------------------------------------------------------------------------
+# Convex pairs (box-box and everything involving mesh hulls) — see convex.py.
+# ---------------------------------------------------------------------------
+
+_CONVEX_KEYS = {
+  (_G.mjGEOM_BOX, _G.mjGEOM_BOX),
+  (_G.mjGEOM_SPHERE, _G.mjGEOM_MESH),
+  (_G.mjGEOM_CAPSULE, _G.mjGEOM_MESH),
+  (_G.mjGEOM_BOX, _G.mjGEOM_MESH),
+  (_G.mjGEOM_MESH, _G.mjGEOM_MESH),
+}
+
+
+def _convex_side(tp: Topology, m: Model, gids: np.ndarray, gtype: int, dtype):
+  """Batched hull data (verts, face_verts, face_normals, edge_dirs, radius)
+  for one side of a convex pair group."""
+  n = len(gids)
+  if gtype == int(_G.mjGEOM_MESH):
+    hulls = [tp.geom_hulls[int(g)] for g in gids]
+    verts, fv, fn, ed = _cvx.pad_hulls(hulls)
+    return (
+      jnp.asarray(verts, dtype), fv, jnp.asarray(fn, dtype),
+      jnp.asarray(ed, dtype), jnp.zeros(n, dtype),
+    )
+  if gtype == int(_G.mjGEOM_BOX):
+    h = _cvx.BOX_HULL
+    verts = jnp.asarray(h.verts, dtype)[None] * m.geom_size[gids][:, None, :]
+    bcast = lambda a: np.broadcast_to(a[None], (n,) + a.shape)
+    return (
+      verts, bcast(h.face_verts),
+      jnp.broadcast_to(jnp.asarray(h.face_normals, dtype), (n,) + h.face_normals.shape),
+      jnp.broadcast_to(jnp.asarray(h.edge_dirs, dtype), (n,) + h.edge_dirs.shape),
+      jnp.zeros(n, dtype),
+    )
+  if gtype == int(_G.mjGEOM_SPHERE):
+    h = _cvx.SPHERE_HULL
+    bcast = lambda a: np.broadcast_to(a[None], (n,) + a.shape)
+    return (
+      jnp.zeros((n, 1, 3), dtype), bcast(h.face_verts),
+      jnp.zeros((n, 1, 3), dtype), jnp.zeros((n, 1, 3), dtype),
+      m.geom_size[gids, 0],
+    )
+  if gtype == int(_G.mjGEOM_CAPSULE):
+    h = _cvx.CAPSULE_HULL
+    hl = m.geom_size[gids, 1]
+    verts = jnp.asarray(h.verts, dtype)[None] * hl[:, None, None]
+    bcast = lambda a: np.broadcast_to(a[None], (n,) + a.shape)
+    return (
+      verts, bcast(h.face_verts),
+      jnp.zeros((n, 1, 3), dtype),
+      jnp.broadcast_to(jnp.asarray(h.edge_dirs, dtype), (n, 1, 3)),
+      m.geom_size[gids, 0],
+    )
+  raise NotImplementedError(f"convex side for geom type {gtype}")
+
+
+def _convex_flags(t1: int, t2: int, e1: int, e2: int) -> dict:
+  """Static convex_convex kwargs per pair-type combination."""
+  if t1 == int(_G.mjGEOM_SPHERE):
+    return dict(use_edge_axes=False, vertex_axes=True, clip_mode="none")
+  if t1 == int(_G.mjGEOM_CAPSULE):
+    return dict(use_edge_axes=True, vertex_axes=True, clip_mode="1on2")
+  return dict(
+    use_edge_axes=e1 * e2 <= _cvx.EDGE_AXIS_BUDGET,
+    vertex_axes=False,
+    clip_mode="both",
+  )
+
+
+def _convex_group(tp: Topology, m: Model, d: Data, key, g1, g2, ncon: int):
+  dtype = d.qpos.dtype
+  v1, fv1, fn1, ed1, r1 = _convex_side(tp, m, g1, key[0], dtype)
+  v2, fv2, fn2, ed2, r2 = _convex_side(tp, m, g2, key[1], dtype)
+  flags = _convex_flags(key[0], key[1], ed1.shape[1], ed2.shape[1])
+
+  def one(p1, m1, v1, fv1, fn1, ed1, r1, p2, m2, v2, fv2, fn2, ed2, r2):
+    return _cvx.convex_convex(
+      p1, m1, v1, fv1, fn1, ed1, p2, m2, v2, fv2, fn2, ed2,
+      r1=r1, r2=r2, ncon=ncon, **flags,
+    )
+
+  return jax.vmap(one)(
+    d.geom_xpos[g1], d.geom_xmat[g1], v1, fv1, fn1, ed1, r1,
+    d.geom_xpos[g2], d.geom_xmat[g2], v2, fv2, fn2, ed2, r2,
+  )
 
 
 _DISPATCH = {
@@ -355,20 +451,22 @@ def _combine_params_vec(tp: Topology, m: Model, g1: np.ndarray, g2: np.ndarray):
 
 
 def _hfield_group(tp, m, d, key, group, g1, g2):
-  """Narrowphase for (HFIELD, SPHERE|CAPSULE) pair groups.
+  """Narrowphase for (HFIELD, SPHERE|CAPSULE|BOX|MESH) pair groups.
 
   Approximation: contacts against the triangulated 2×2 cell block under the
-  object (capsule: under each endpoint) — behaviorally matches MuJoCo's
-  prism collision for ground-scale rasters. Heights stay in Model
-  (terrain DR flows through)."""
+  object — sphere: under its center; capsule: under each endpoint; box/mesh:
+  the hull vertices sampled as point contacts against the surface.
+  Behaviorally matches MuJoCo's prism collision for ground-scale rasters.
+  Heights stay in Model (terrain DR flows through)."""
   dtype = d.qpos.dtype
 
-  def pair_fn(p1, m1, p2, m2, s2, heights, nx, ny, hsize):
-    c_local = m1.T @ (p2 - p1)
+  def pair_fn(p1, m1, p2, m2, s2, sverts, heights, nx, ny, hsize):
     if key[1] == _G.mjGEOM_SPHERE:
+      c_local = m1.T @ (p2 - p1)
       tris = _hfield_cell_triangles(heights, nx, ny, hsize, c_local)
       dist, pos_l, n_l = _sphere_hfield_contacts(c_local, s2[0], tris)
-    else:  # capsule: two endpoint spheres, deepest 2 each
+    elif key[1] == _G.mjGEOM_CAPSULE:
+      c_local = m1.T @ (p2 - p1)
       axis_l = m1.T @ m2[:, 2]
       r, hl = s2[0], s2[1]
       outs = []
@@ -380,6 +478,18 @@ def _hfield_group(tp, m, d, key, group, g1, g2):
       dist = jnp.concatenate([o[0] for o in outs])
       pos_l = jnp.concatenate([o[1] for o in outs])
       n_l = jnp.concatenate([o[2] for o in outs])
+    else:  # BOX / MESH: hull vertices as point samples against the surface
+      Rm = m1.T @ m2
+      vl = sverts @ Rm.T + (m1.T @ (p2 - p1))  # (V, 3) hfield frame
+
+      def one_v(v):
+        tris = _hfield_cell_triangles(heights, nx, ny, hsize, v)
+        dv, pv, nv = _sphere_hfield_contacts(v, jnp.zeros((), dtype), tris)
+        return dv[0], pv[0], nv[0]  # deepest per vertex
+
+      dv, pv, nv = jax.vmap(one_v)(vl)
+      neg, top = jax.lax.top_k(-dv, 4)
+      dist, pos_l, n_l = -neg, pv[top], nv[top]
     pos_w = p1 + pos_l @ m1.T
     n_w = n_l @ m1.T
     frames = jax.vmap(_normal_frame)(n_w)
@@ -405,12 +515,24 @@ def _hfield_group(tp, m, d, key, group, g1, g2):
       ]
     )
     hsizes = m.hfield_size[hids]
+    if key[1] == _G.mjGEOM_MESH:
+      hulls = [tp.geom_hulls[int(g)] for g in gg2]
+      sverts = jnp.asarray(_cvx.pad_hulls(hulls)[0], dtype)
+    elif key[1] == _G.mjGEOM_BOX:
+      sverts = (
+        jnp.asarray(_cvx.BOX_HULL.verts, dtype)[None]
+        * m.geom_size[gg2][:, None, :]
+      )
+    else:
+      sverts = jnp.zeros((len(idxs), 1, 3), dtype)
     dist, pos, frame = jax.vmap(
-      lambda p1, m1, p2, m2, s2, h, hs: pair_fn(p1, m1, p2, m2, s2, h, nx, ny, hs)
+      lambda p1, m1, p2, m2, s2, sv, h, hs: pair_fn(
+        p1, m1, p2, m2, s2, sv, h, nx, ny, hs
+      )
     )(
       d.geom_xpos[gg1], d.geom_xmat[gg1],
       d.geom_xpos[gg2], d.geom_xmat[gg2], m.geom_size[gg2],
-      heights, hsizes,
+      sverts, heights, hsizes,
     )
     dists.append(dist)
     poss.append(pos)
@@ -423,8 +545,200 @@ def _hfield_group(tp, m, d, key, group, g1, g2):
   return dist.astype(dtype), pos, frame
 
 
+def _combine_params_terrain(
+  tp: Topology, m: Model, tg: TerrainGroup, ids: jax.Array
+):
+  """mj_contactParam for (static robot geom, runtime-selected terrain geom):
+  like _combine_params_vec but the terrain side is gathered by traced ids.
+  The priority comparison stays static (pool priority is uniform)."""
+  g = tg.robot_geoms  # (R,) static
+  R, S = ids.shape
+  prio_r = tp.geom_priority[g]  # (R,)
+  r_higher = prio_r > tg.pool_priority
+  t_higher = prio_r < tg.pool_priority
+  fri_r = m.geom_friction[g][:, None]  # (R, 1, 3)
+  ref_r = m.geom_solref[g][:, None]
+  imp_r = m.geom_solimp[g][:, None]
+  fri_t = m.geom_friction[ids]  # (R, S, 3)
+  ref_t = m.geom_solref[ids]
+  imp_t = m.geom_solimp[ids]
+
+  s_r = jnp.maximum(m.geom_solmix[g], 1e-12)[:, None]
+  s_t = jnp.maximum(m.geom_solmix[ids], 1e-12)
+  w_r = (s_r / (s_r + s_t))[..., None]
+  w_t = 1.0 - w_r
+  fri_mix = jnp.maximum(fri_r, fri_t)
+  ref_mix = w_r * ref_r + w_t * ref_t
+  direct = ((ref_r[..., 0] <= 0) | (ref_t[..., 0] <= 0))[..., None]
+  ref_mix = jnp.where(direct, jnp.minimum(ref_r, ref_t), ref_mix)
+  imp_mix = w_r * imp_r + w_t * imp_t
+
+  pick = lambda hi_r, a_r, a_t, a_mix: jnp.where(
+    np.broadcast_to(hi_r[:, None, None], (R, S, 1)),
+    jnp.broadcast_to(a_r, a_t.shape),
+    jnp.where(
+      np.broadcast_to(t_higher[:, None, None], (R, S, 1)), a_t, a_mix
+    ),
+  )
+  fri3 = pick(r_higher, fri_r, fri_t, fri_mix)
+  solref = pick(r_higher, ref_r, ref_t, ref_mix)
+  solimp = pick(r_higher, imp_r, imp_t, imp_mix)
+  margin = jnp.maximum(m.geom_margin[g][:, None], m.geom_margin[ids])
+  gap = jnp.maximum(m.geom_gap[g][:, None], m.geom_gap[ids])
+  friction = jnp.stack(
+    [fri3[..., 0], fri3[..., 0], fri3[..., 1], fri3[..., 2], fri3[..., 2]],
+    axis=-1,
+  )
+  return friction, solref, solimp, margin - gap
+
+
+def _terrain_group_contacts(tp: Topology, m: Model, d: Data, tg: TerrainGroup):
+  """Broadphase (cell hash + top-K) and narrowphase for one terrain group.
+
+  Returns per-slot (dist, pos, frame, friction, solref, solimp,
+  includemargin) with R * tg.slots rows in robot-geom order."""
+  dtype = d.qpos.dtype
+  rg = tg.robot_geoms
+  R, K = len(rg), tg.ncand
+  p = d.geom_xpos[rg]  # (R, 3)
+  lo = np.asarray(tg.grid_lo)
+  cells = jnp.asarray(tg.cells)
+  ncx, ncy, L = tg.cells.shape
+  ix = jnp.clip(
+    jnp.floor((p[:, 0] - lo[0]) / tg.cell_size).astype(jnp.int32), 0, ncx - 1
+  )
+  iy = jnp.clip(
+    jnp.floor((p[:, 1] - lo[1]) / tg.cell_size).astype(jnp.int32), 0, ncy - 1
+  )
+  cand = cells[ix, iy]  # (R, L) global geom ids, -1 padded
+  valid = cand >= 0
+  cid = jnp.maximum(cand, 0)
+  bpos = d.geom_xpos[cid]  # (R, L, 3) — terrain geoms are world-static
+  bsize = m.geom_size[cid]
+  brad = jnp.linalg.norm(bsize, axis=-1)
+  rrad = jnp.asarray(tg.robot_rad, dtype)[:, None]
+  key = jnp.sum((p[:, None] - bpos) ** 2, axis=-1) - (brad + rrad) ** 2
+  key = jnp.where(valid, key, jnp.inf)
+  _, topi = jax.lax.top_k(-key, K)
+  ids = jnp.take_along_axis(cid, topi, axis=1)  # (R, K)
+  ok = jnp.take_along_axis(valid, topi, axis=1)
+
+  bp = d.geom_xpos[ids]  # (R, K, 3)
+  bm = d.geom_xmat[ids]
+  bs = m.geom_size[ids]
+  rp = d.geom_xpos[rg]
+  rm = d.geom_xmat[rg]
+  rs = m.geom_size[rg]
+
+  # Slot convention: terrain geom is geom1 (welded to world), robot geom is
+  # geom2; frame normals must point terrain → robot.
+  t = tg.robot_type
+  if t == int(_G.mjGEOM_SPHERE):
+    def one(p1, m1, s1, p2, m2, s2):
+      # _sphere_box_impl's normal points box→sphere = terrain→robot.
+      dist, pos, n = _sphere_box_impl(p1, s1[0], p2, m2, s2)
+      return dist[None], pos[None], _normal_frame(n)[None]
+
+    nf = jax.vmap(jax.vmap(one, in_axes=(None, None, None, 0, 0, 0)))
+    dist, pos, frame = nf(rp, rm, rs, bp, bm, bs)
+  elif t == int(_G.mjGEOM_CAPSULE):
+    def one(p1, m1, s1, p2, m2, s2):
+      # _capsule_box normals point capsule→box (robot→terrain): flip.
+      dist, pos, frame = _capsule_box(p1, m1, s1, p2, m2, s2)
+      return dist, pos, jax.vmap(_normal_frame)(-frame[:, 0])
+
+    nf = jax.vmap(jax.vmap(one, in_axes=(None, None, None, 0, 0, 0)))
+    dist, pos, frame = nf(rp, rm, rs, bp, bm, bs)
+  elif t in (int(_G.mjGEOM_BOX), int(_G.mjGEOM_MESH)):
+    if t == int(_G.mjGEOM_BOX):
+      h = _cvx.BOX_HULL
+      rverts = jnp.asarray(h.verts, dtype)[None] * rs[:, None, :]
+      rfv = np.broadcast_to(h.face_verts[None], (R,) + h.face_verts.shape)
+      rfn = jnp.broadcast_to(
+        jnp.asarray(h.face_normals, dtype)[None], (R,) + h.face_normals.shape
+      )
+      red = jnp.broadcast_to(
+        jnp.asarray(h.edge_dirs, dtype)[None], (R,) + h.edge_dirs.shape
+      )
+    else:
+      hulls = [tp.geom_hulls[int(g)] for g in rg]
+      verts, fv, fn, ed = _cvx.pad_hulls(hulls)
+      rverts = jnp.asarray(verts, dtype)
+      rfv = fv
+      rfn = jnp.asarray(fn, dtype)
+      red = jnp.asarray(ed, dtype)
+    bh = _cvx.BOX_HULL
+    flags = _convex_flags(int(_G.mjGEOM_BOX), t, bh.edge_dirs.shape[0],
+                          red.shape[1])
+
+    def one(p2, m2, v2, fv2, fn2, ed2, p1, m1, s1):
+      # Terrain box is geom1 so the frame normal points terrain→robot.
+      v1 = jnp.asarray(bh.verts, dtype) * s1
+      return _cvx.convex_convex(
+        p1, m1, v1, bh.face_verts, jnp.asarray(bh.face_normals, dtype),
+        jnp.asarray(bh.edge_dirs, dtype),
+        p2, m2, v2, fv2, fn2, ed2, ncon=4, **flags,
+      )
+
+    nf = jax.vmap(
+      jax.vmap(one, in_axes=(None, None, None, None, None, None, 0, 0, 0))
+    )
+    dist, pos, frame = nf(rp, rm, rverts, rfv, rfn, red, bp, bm, bs)
+  else:
+    raise NotImplementedError(f"terrain narrowphase for geom type {t}")
+
+  # dist/pos/frame: (R, K, k, ...) candidate contacts; mask invalid and keep
+  # tg.slots per robot geom — deepest-first with lateral-diversity
+  # suppression. Plain depth top-k fails on tile seams: a geom straddling
+  # 2–4 coplanar tiles gets near-coincident manifold corners from each
+  # tile's clip, the deepest cluster fills every slot, the support polygon
+  # collapses to a point, and the body rocks forever (the reference keeps
+  # per-pair manifolds via mjwarp so it never merges across tiles).
+  k = dist.shape[2]
+  nc = K * k
+  dist = jnp.where(ok[..., None], dist, 1e10).reshape(R, nc)
+  pos = pos.reshape(R, nc, 3)
+  frame = frame.reshape(R, nc, 3, 3)
+  rho = 0.3 * jnp.asarray(tg.robot_rad, dtype)  # dedupe radius per geom
+
+  def select(dist_row, xy, rho_r):
+    taken = jnp.zeros((nc,), bool)
+    sels = []
+    for _ in range(tg.slots):
+      score = jnp.where(taken, jnp.inf, dist_row)
+      j = jnp.argmin(score)
+      sels.append(j)
+      close = jnp.sum((xy - xy[j]) ** 2, axis=-1) < rho_r * rho_r
+      taken = taken | close | (jnp.arange(nc) == j)
+    return jnp.stack(sels)
+
+  sel = jax.vmap(select)(dist, pos[..., :2], rho)  # (R, slots)
+  dist = jnp.take_along_axis(dist, sel, axis=1)
+  pos = jnp.take_along_axis(pos, sel[..., None], axis=1)
+  frame = jnp.take_along_axis(frame, sel[..., None, None], axis=1)
+
+  # Contact parameters for the selected candidates' terrain geoms.
+  friction, solref, solimp, inclm = _combine_params_terrain(tp, m, tg, ids)
+  expand = lambda a: jnp.repeat(a, k, axis=1)  # (R, K*k, ...)
+  gather = lambda a: jnp.take_along_axis(
+    expand(a), sel.reshape(R, tg.slots, *([1] * (a.ndim - 2))), axis=1
+  )
+  friction = gather(friction)
+  solref = gather(solref)
+  solimp = gather(solimp)
+  inclm = gather(inclm[..., None])[..., 0]
+
+  flat = lambda a: a.reshape((R * tg.slots,) + a.shape[2:])
+  return (
+    flat(dist), flat(pos), flat(frame), flat(friction), flat(solref),
+    flat(solimp), flat(inclm),
+  )
+
+
 def collision(tp: Topology, m: Model, d: Data) -> Data:
-  """Run narrowphase: one vmapped call per geometry-type group."""
+  """Run narrowphase: one vmapped call per geometry-type group, then the
+  runtime-broadphase terrain groups (slot order matches constraint
+  slot_tables: static pairs first, terrain slots after)."""
   if tp.ncon_max == 0:
     return d
   dists, poss, frames = [], [], []
@@ -436,16 +750,18 @@ def collision(tp: Topology, m: Model, d: Data) -> Data:
     k = group[0].ncon
     if key[0] == _G.mjGEOM_HFIELD:
       dist, pos, frame = _hfield_group(tp, m, d, key, group, g1, g2)
+    elif key in _CONVEX_KEYS:
+      dist, pos, frame = _convex_group(tp, m, d, key, g1, g2, k)
     elif key == (_G.mjGEOM_PLANE, _G.mjGEOM_MESH):
       # Hull-vertex arrays padded to the group max (repeat first vertex).
-      vmax = max(tp.geom_hull_verts[g].shape[0] for g in g2)
+      vmax = max(tp.geom_hulls[g].verts.shape[0] for g in g2)
       hulls = np.stack(
         [
           np.concatenate(
             [v, np.broadcast_to(v[:1], (vmax - v.shape[0], 3))], axis=0
           )
           for g in g2
-          for v in (tp.geom_hull_verts[g],)
+          for v in (tp.geom_hulls[g].verts,)
         ]
       )
       dist, pos, frame = jax.vmap(_plane_convex)(
@@ -468,6 +784,17 @@ def collision(tp: Topology, m: Model, d: Data) -> Data:
     refs.append(jnp.repeat(solref, k, axis=0))
     imps.append(jnp.repeat(solimp, k, axis=0))
     margins.append(jnp.repeat(inclmargin, k, axis=0))
+  for tg in tp.terrain_groups:
+    dist, pos, frame, friction, solref, solimp, inclm = _terrain_group_contacts(
+      tp, m, d, tg
+    )
+    dists.append(dist)
+    poss.append(pos)
+    frames.append(frame)
+    fris.append(friction)
+    refs.append(solref)
+    imps.append(solimp)
+    margins.append(inclm)
   contact = Contact(
     dist=jnp.concatenate(dists),
     pos=jnp.concatenate(poss),

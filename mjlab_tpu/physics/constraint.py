@@ -104,6 +104,18 @@ def slot_tables(tp: Topology, cone: int) -> SlotTables:
       b1.append(int(tp.geom_bodyid[p.geom1]))
       b2.append(int(tp.geom_bodyid[p.geom2]))
       condim.append(p.condim)
+  # Terrain-group slots follow the static pair slots. The terrain geom varies
+  # at runtime but is always welded to world (b1 = 0); the pool's first geom
+  # stands in for g1 (only b1/b2/condim feed constraint assembly — contact
+  # params are carried in Contact by the collision broadphase).
+  for tg in tp.terrain_groups:
+    for i, g in enumerate(tg.robot_geoms):
+      for _ in range(tg.slots):
+        g1.append(int(tg.pool_geoms[0]))
+        g2.append(int(g))
+        b1.append(0)
+        b2.append(int(tp.geom_bodyid[g]))
+        condim.append(int(tg.condim[i]))
   condim = np.asarray(condim, dtype=np.int32)
   # Rows are grouped by condim (ascending), preserving slot order per group.
   adr = np.zeros(len(condim), dtype=np.int32)
@@ -145,41 +157,43 @@ def elliptic_cone_slots(tp: Topology) -> tuple[np.ndarray, np.ndarray]:
 
 
 def contact_forces(tp: Topology, m: Model, d: Data) -> jax.Array:
-  """Per-slot contact force in the contact frame [normal, t1, t2] — (C, 3).
+  """Per-slot contact wrench in the contact frame — (C, 6): force
+  [normal, t1, t2] then torque [torsion, roll1, roll2] (zero beyond the
+  contact's condim). Equivalent of mj_contactForce for the engine's static
+  slots (reference sensors read it via mjSENS_CONTACT's force/torque
+  fields, sensor/contact_sensor.py:16-41).
 
   Pyramidal decoding (the inverse of the facet construction above):
-  normal = Σ λ_k, tangent_i = μ_i (λ_{i+} − λ_{i−}). Equivalent of
-  mj_contactForce for the engine's static slots.
+  normal = Σ λ_k, component_i = μ_i (λ_{i+} − λ_{i−}) where components run
+  over [t1, t2, torsion, roll1, roll2]. Elliptic rows are the contact-frame
+  components directly.
   """
   st = slot_tables(tp, m.opt.cone)
   C = len(st.condim)
   dtype = d.qpos.dtype
   if C == 0:
-    return jnp.zeros((0, 3), dtype=dtype)
+    return jnp.zeros((0, 6), dtype=dtype)
   adr = contact_slot_row_adr(tp, m.opt.cone)
-  out = jnp.zeros((C, 3), dtype=dtype)
+  out = jnp.zeros((C, 6), dtype=dtype)
   for cd in sorted(set(st.condim.tolist())):
     idx = np.nonzero(st.condim == cd)[0]
     a = adr[idx]
     if cd == 1:
       normal = d.efc_force[a]
-      f = jnp.stack([normal, jnp.zeros_like(normal), jnp.zeros_like(normal)], -1)
+      comps = [normal]
     elif m.opt.cone == ConeType.ELLIPTIC:
-      # Elliptic rows are already contact-frame force components.
       rows = d.efc_force[a[:, None] + np.arange(cd)[None]]  # (n, cd)
-      pad = jnp.zeros((len(idx), 3 - (cd - 1) - 1), dtype=dtype)
-      f = jnp.concatenate([rows, pad], axis=-1) if cd < 3 else rows
+      comps = [rows[:, i] for i in range(cd)]
     else:
       lam = d.efc_force[a[:, None] + np.arange(2 * (cd - 1))[None]]  # (n, 2(cd-1))
       normal = jnp.sum(lam, axis=-1)
-      tangents = []
+      comps = [normal]
       for f_i in range(1, cd):
         mu = d.contact.friction[idx, f_i - 1]
-        tangents.append(mu * (lam[:, 2 * (f_i - 1)] - lam[:, 2 * (f_i - 1) + 1]))
-      while len(tangents) < 2:
-        tangents.append(jnp.zeros_like(normal))
-      f = jnp.stack([normal, tangents[0], tangents[1]], -1)
-    out = out.at[idx].set(f)
+        comps.append(mu * (lam[:, 2 * (f_i - 1)] - lam[:, 2 * (f_i - 1) + 1]))
+    while len(comps) < 6:
+      comps.append(jnp.zeros_like(comps[0]))
+    out = out.at[idx].set(jnp.stack(comps, -1))
   return out
 
 
@@ -281,8 +295,6 @@ def make_constraint(tp: Topology, m: Model, d: Data) -> Data:
       # zero reference acceleration.
       for cd in sorted(set(st.condim.tolist())):
         idx = np.nonzero(st.condim == cd)[0]
-        if cd > 3:
-          raise NotImplementedError("condim > 3 (torsional/rolling friction)")
         n_rows, inc, iw = rows_nt[idx, 0], include[idx], invweight[idx]
         pos_g = c.dist[idx]
         mar_g = c.includemargin[idx]

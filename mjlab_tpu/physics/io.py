@@ -22,6 +22,7 @@ from mjlab_tpu.physics.types import (
   Integrator,
   Model,
   Option,
+  TerrainGroup,
   Topology,
 )
 
@@ -37,12 +38,33 @@ _PAIR_NCON: dict[tuple[int, int], int] = {
   (_G.mjGEOM_SPHERE, _G.mjGEOM_SPHERE): 1,
   (_G.mjGEOM_SPHERE, _G.mjGEOM_CAPSULE): 1,
   (_G.mjGEOM_SPHERE, _G.mjGEOM_BOX): 1,
+  (_G.mjGEOM_SPHERE, _G.mjGEOM_MESH): 1,
   (_G.mjGEOM_CAPSULE, _G.mjGEOM_CAPSULE): 1,
   (_G.mjGEOM_CAPSULE, _G.mjGEOM_BOX): 2,
+  (_G.mjGEOM_CAPSULE, _G.mjGEOM_MESH): 2,
+  (_G.mjGEOM_BOX, _G.mjGEOM_BOX): 4,
+  (_G.mjGEOM_BOX, _G.mjGEOM_MESH): 4,
+  (_G.mjGEOM_MESH, _G.mjGEOM_MESH): 4,
   (_G.mjGEOM_HFIELD, _G.mjGEOM_SPHERE): 4,
   (_G.mjGEOM_HFIELD, _G.mjGEOM_CAPSULE): 4,
+  (_G.mjGEOM_HFIELD, _G.mjGEOM_BOX): 4,
+  (_G.mjGEOM_HFIELD, _G.mjGEOM_MESH): 4,
   (_G.mjGEOM_PLANE, _G.mjGEOM_MESH): 4,
 }
+
+# Static world geoms (weldid 0) of these types are pooled into a runtime
+# broadphase when their count exceeds the threshold — the TPU answer to box
+# terrains, where a full static pair table would explode (thousands of
+# terrain boxes x ~30 robot geoms; the reference relies on mjwarp's
+# GPU broadphase instead, sim/sim.py:114-126).
+TERRAIN_POOL_MIN = 64
+TERRAIN_CANDIDATES = 4  # top-K candidate terrain geoms per robot geom
+TERRAIN_SLOTS = 6  # contact slots kept per robot geom (6, not 4: a geom on a
+# tile seam has up to ~9 equal-depth support corners across the adjacent
+# tiles; with only 4 slots the selected set flickers with micro-tilt and the
+# body never stops rocking — 6 covers the tie set and settles to rest)
+_TERRAIN_CELL_SIZE = 1.0  # broadphase hash cell size (meters)
+_TERRAIN_CELL_MARGIN = 0.6  # AABB expansion when binning (> max robot geom radius)
 
 
 def _hull_vertices(m: mujoco.MjModel, geom_id: int) -> np.ndarray:
@@ -63,37 +85,182 @@ def _hull_vertices(m: mujoco.MjModel, geom_id: int) -> np.ndarray:
   return np.asarray(verts, dtype=np.float64)
 
 
-def _candidate_pairs(m: mujoco.MjModel) -> list[GeomPair]:
+def _geom_bounding_radius(m: mujoco.MjModel, g: int) -> float:
+  """Host bounding-sphere radius of a geom (about its frame origin)."""
+  t = int(m.geom_type[g])
+  s = m.geom_size[g]
+  if t == int(_G.mjGEOM_SPHERE):
+    return float(s[0])
+  if t == int(_G.mjGEOM_CAPSULE):
+    return float(s[0] + s[1])
+  if t == int(_G.mjGEOM_CYLINDER):
+    return float(np.hypot(s[0], s[1]))
+  if t in (int(_G.mjGEOM_BOX), int(_G.mjGEOM_ELLIPSOID)):
+    return float(np.linalg.norm(s))
+  if t == int(_G.mjGEOM_MESH):
+    return float(np.max(np.linalg.norm(_hull_vertices(m, g), axis=-1)))
+  return float(np.linalg.norm(s))
+
+
+def _combined_condim(m: mujoco.MjModel, ga: int, gb: int) -> int:
+  """mj_contactParam condim: higher-priority geom wins, else max."""
+  p1, p2 = int(m.geom_priority[ga]), int(m.geom_priority[gb])
+  if p1 != p2:
+    return int(m.geom_condim[ga if p1 > p2 else gb])
+  return max(int(m.geom_condim[ga]), int(m.geom_condim[gb]))
+
+
+def _geom_world_aabb(m: mujoco.MjModel, g: int) -> tuple[np.ndarray, np.ndarray]:
+  """World AABB of a static (worldbody) geom from its model pose."""
+  pos = m.geom_pos[g]
+  mat = np.zeros(9)
+  mujoco.mju_quat2Mat(mat, m.geom_quat[g])
+  mat = mat.reshape(3, 3)
+  t = int(m.geom_type[g])
+  if t == int(_G.mjGEOM_BOX):
+    ext = np.abs(mat) @ m.geom_size[g]
+  else:
+    r = _geom_bounding_radius(m, g)
+    ext = np.full(3, r)
+  return pos - ext, pos + ext
+
+
+def _build_terrain_groups(
+  m: mujoco.MjModel,
+  pool: list[int],
+  mobile_by_type: dict[int, list[int]],
+) -> list["TerrainGroup"]:
+  """Spatial-hash cell lists over the terrain pool + one group per mobile
+  geom type."""
+  lo = np.full(2, np.inf)
+  hi = np.full(2, -np.inf)
+  aabbs = []
+  for g in pool:
+    a, b = _geom_world_aabb(m, g)
+    aabbs.append((a, b))
+    lo = np.minimum(lo, a[:2])
+    hi = np.maximum(hi, b[:2])
+  cs = _TERRAIN_CELL_SIZE
+  ncx = max(1, int(np.ceil((hi[0] - lo[0]) / cs)))
+  ncy = max(1, int(np.ceil((hi[1] - lo[1]) / cs)))
+  buckets: list[list[list[int]]] = [[[] for _ in range(ncy)] for _ in range(ncx)]
+  for g, (a, b) in zip(pool, aabbs):
+    x0 = int(np.clip(np.floor((a[0] - _TERRAIN_CELL_MARGIN - lo[0]) / cs), 0, ncx - 1))
+    x1 = int(np.clip(np.floor((b[0] + _TERRAIN_CELL_MARGIN - lo[0]) / cs), 0, ncx - 1))
+    y0 = int(np.clip(np.floor((a[1] - _TERRAIN_CELL_MARGIN - lo[1]) / cs), 0, ncy - 1))
+    y1 = int(np.clip(np.floor((b[1] + _TERRAIN_CELL_MARGIN - lo[1]) / cs), 0, ncy - 1))
+    for ix in range(x0, x1 + 1):
+      for iy in range(y0, y1 + 1):
+        buckets[ix][iy].append(g)
+  L = max(1, max(len(c) for col in buckets for c in col))
+  cells = np.full((ncx, ncy, L), -1, dtype=np.int32)
+  for ix in range(ncx):
+    for iy in range(ncy):
+      ids = buckets[ix][iy]
+      cells[ix, iy, : len(ids)] = ids
+
+  prio = {int(m.geom_priority[g]) for g in pool}
+  if len(prio) != 1:
+    raise NotImplementedError("terrain pool geoms must share one priority")
+  groups = []
+  for rtype in sorted(mobile_by_type):
+    geoms = sorted(mobile_by_type[rtype])
+    groups.append(
+      TerrainGroup(
+        robot_type=rtype,
+        robot_geoms=np.asarray(geoms, dtype=np.int32),
+        robot_rad=np.asarray(
+          [_geom_bounding_radius(m, g) for g in geoms]
+        ),
+        pool_type=int(_G.mjGEOM_BOX),
+        pool_geoms=np.asarray(pool, dtype=np.int32),
+        pool_priority=int(m.geom_priority[pool[0]]),
+        cells=cells,
+        grid_lo=lo,
+        cell_size=cs,
+        ncand=TERRAIN_CANDIDATES,
+        slots=TERRAIN_SLOTS,
+        condim=np.asarray(
+          [_combined_condim(m, g, pool[0]) for g in geoms], dtype=np.int32
+        ),
+      )
+    )
+  return groups
+
+
+def _candidate_pairs(
+  m: mujoco.MjModel,
+) -> tuple[list[GeomPair], list["TerrainGroup"]]:
   """Enumerate collision pairs with MuJoCo's body-level filtering.
 
   Mirrors mj_collision filtering semantics: same-body/weld exclusion,
   parent-child filter (unless parent is world), contype/conaffinity
-  compatibility, and <exclude> signatures. Static — the runtime narrowphase
-  runs every pair every step and masks by distance (MJX-style).
+  compatibility, and <exclude> signatures. Static pairs run every step and
+  mask by distance (MJX-style); pairs against large static box pools
+  (generated terrains) are factored into runtime-broadphase TerrainGroups
+  instead (see types.TerrainGroup).
   """
   excluded = set()
   for i in range(m.nexclude):
     sig = int(m.exclude_signature[i])
     excluded.add((sig >> 16, sig & 0xFFFF))
+  filterparent = not (m.opt.disableflags & mujoco.mjtDisableBit.mjDSBL_FILTERPARENT)
+
+  def compatible(g1: int, g2: int) -> bool:
+    b1, b2 = int(m.geom_bodyid[g1]), int(m.geom_bodyid[g2])
+    w1, w2 = int(m.body_weldid[b1]), int(m.body_weldid[b2])
+    if w1 == w2:
+      return False
+    pw1 = int(m.body_weldid[m.body_parentid[w1]])
+    pw2 = int(m.body_weldid[m.body_parentid[w2]])
+    if filterparent and w1 != 0 and w2 != 0 and (w1 == pw2 or w2 == pw1):
+      return False
+    if (b1, b2) in excluded or (b2, b1) in excluded:
+      return False
+    t1, t2 = int(m.geom_contype[g1]), int(m.geom_contype[g2])
+    a1, a2 = int(m.geom_conaffinity[g1]), int(m.geom_conaffinity[g2])
+    return bool((t1 & a2) or (t2 & a1))
+
+  # Terrain pool: static worldbody boxes, when numerous enough that a static
+  # pair table would explode.
+  world_boxes = [
+    g
+    for g in range(m.ngeom)
+    if int(m.body_weldid[m.geom_bodyid[g]]) == 0
+    and int(m.geom_type[g]) == int(_G.mjGEOM_BOX)
+  ]
+  pool: set[int] = set()
+  mobile_by_type: dict[int, list[int]] = {}
+  if len(world_boxes) > TERRAIN_POOL_MIN:
+    pool = set(world_boxes)
+    # A mobile geom joins a group iff it is collision-compatible with the
+    # whole pool (all-or-nothing; mixed compatibility would need per-pair
+    # masks inside the broadphase — not needed by any shipped terrain).
+    probe = world_boxes[0]
+    for g in range(m.ngeom):
+      if g in pool or int(m.body_weldid[m.geom_bodyid[g]]) == 0:
+        continue
+      compat = [compatible(g, p) for p in (probe, world_boxes[-1])]
+      if not any(compat):
+        continue
+      if not all(compat):
+        raise NotImplementedError(
+          "geom has mixed collision compatibility with the terrain pool"
+        )
+      t = int(m.geom_type[g])
+      key = tuple(sorted((t, int(_G.mjGEOM_BOX))))
+      if key not in _PAIR_NCON:
+        raise NotImplementedError(
+          f"Unsupported terrain collision for geom type {t}."
+        )
+      mobile_by_type.setdefault(t, []).append(g)
 
   pairs: list[GeomPair] = []
-  filterparent = not (m.opt.disableflags & mujoco.mjtDisableBit.mjDSBL_FILTERPARENT)
   for g1 in range(m.ngeom):
     for g2 in range(g1 + 1, m.ngeom):
-      b1, b2 = int(m.geom_bodyid[g1]), int(m.geom_bodyid[g2])
-      w1, w2 = int(m.body_weldid[b1]), int(m.body_weldid[b2])
-      if w1 == w2:
-        continue
-      # Parent filter (on welded tree).
-      pw1 = int(m.body_weldid[m.body_parentid[w1]])
-      pw2 = int(m.body_weldid[m.body_parentid[w2]])
-      if filterparent and w1 != 0 and w2 != 0 and (w1 == pw2 or w2 == pw1):
-        continue
-      if (b1, b2) in excluded or (b2, b1) in excluded:
-        continue
-      t1, t2 = int(m.geom_contype[g1]), int(m.geom_contype[g2])
-      a1, a2 = int(m.geom_conaffinity[g1]), int(m.geom_conaffinity[g2])
-      if not ((t1 & a2) or (t2 & a1)):
+      if g1 in pool or g2 in pool:
+        continue  # handled by the terrain groups
+      if not compatible(g1, g2):
         continue
       ga, gb = g1, g2
       if m.geom_type[ga] > m.geom_type[gb]:
@@ -107,12 +274,6 @@ def _candidate_pairs(m: mujoco.MjModel) -> list[GeomPair]:
         raise NotImplementedError(
           f"Unsupported collision pair {key} between geoms {names}."
         )
-      # Combined condim: higher-priority geom wins, else max.
-      p1, p2 = int(m.geom_priority[ga]), int(m.geom_priority[gb])
-      if p1 != p2:
-        condim = int(m.geom_condim[ga if p1 > p2 else gb])
-      else:
-        condim = max(int(m.geom_condim[ga]), int(m.geom_condim[gb]))
       pairs.append(
         GeomPair(
           geom1=ga,
@@ -120,13 +281,17 @@ def _candidate_pairs(m: mujoco.MjModel) -> list[GeomPair]:
           type1=key[0],
           type2=key[1],
           ncon=_PAIR_NCON[key],
-          condim=condim,
+          condim=_combined_condim(m, ga, gb),
         )
       )
   # Sort by type pair so collision dispatch groups are contiguous and the
   # vectorized narrowphase runs once per geometry-type combination.
   pairs.sort(key=lambda p: (p.type1, p.type2))
-  return pairs
+
+  groups = (
+    _build_terrain_groups(m, sorted(pool), mobile_by_type) if pool else []
+  )
+  return pairs, groups
 
 
 def _transmission_matrices(m: mujoco.MjModel) -> tuple[np.ndarray, np.ndarray]:
@@ -258,8 +423,11 @@ def put_model(
     raise NotImplementedError(f"Integrator {m.opt.integrator} not supported.")
   cone = int(m.opt.cone)
 
-  pairs = tuple(_candidate_pairs(m))
-  ncon_max = sum(p.ncon for p in pairs)
+  pairs_list, groups_list = _candidate_pairs(m)
+  pairs = tuple(pairs_list)
+  terrain_groups = tuple(groups_list)
+  n_terrain_slots = sum(tg.slots * len(tg.robot_geoms) for tg in terrain_groups)
+  ncon_max = sum(p.ncon for p in pairs) + n_terrain_slots
 
   if allocate_friction_rows:
     friction_dofs = np.arange(m.nv)
@@ -274,17 +442,35 @@ def put_model(
     len(friction_dofs)
     + len(limited_joints)
     + sum(p.ncon * contact_rows(p.condim, cone) for p in pairs)
+    + sum(
+      tg.slots * sum(contact_rows(int(c), cone) for c in tg.condim)
+      for tg in terrain_groups
+    )
   )
 
   trn_qmat, trn_vmat = _transmission_matrices(m)
   tendon_qmat, tendon_vmat = _tendon_matrices(m)
 
-  geom_hull_verts = {
-    g: _hull_vertices(m, g)
-    for g in {
-      p.geom2 for p in pairs if p.type2 == int(_G.mjGEOM_MESH)
-    } | {p.geom1 for p in pairs if p.type1 == int(_G.mjGEOM_MESH)}
-  }
+  from mjlab_tpu.physics.convex import build_hull
+
+  mesh_geoms = (
+    {p.geom2 for p in pairs if p.type2 == int(_G.mjGEOM_MESH)}
+    | {p.geom1 for p in pairs if p.type1 == int(_G.mjGEOM_MESH)}
+    | {
+      int(g)
+      for tg in terrain_groups
+      if tg.robot_type == int(_G.mjGEOM_MESH)
+      for g in tg.robot_geoms
+    }
+  )
+  # Cache hulls by mesh id: entities attached per-env scene share meshes.
+  _hull_by_mesh: dict[int, object] = {}
+  geom_hulls = {}
+  for g in mesh_geoms:
+    mid = int(m.geom_dataid[g])
+    if mid not in _hull_by_mesh:
+      _hull_by_mesh[mid] = build_hull(_hull_vertices(m, g))
+    geom_hulls[g] = _hull_by_mesh[mid]
 
   tp = Topology(
     nq=m.nq,
@@ -321,7 +507,7 @@ def put_model(
     geom_condim=m.geom_condim.copy(),
     geom_priority=m.geom_priority.copy(),
     geom_dataid=m.geom_dataid.copy(),
-    geom_hull_verts=geom_hull_verts,
+    geom_hulls=geom_hulls,
     site_bodyid=m.site_bodyid.copy(),
     actuator_trntype=m.actuator_trntype.copy(),
     actuator_trnid=m.actuator_trnid.copy(),
@@ -349,6 +535,7 @@ def put_model(
     limited_joint_ids=limited_joints,
     friction_dof_ids=friction_dofs,
     pairs=pairs,
+    terrain_groups=terrain_groups,
     ncon_max=ncon_max,
     nefc=nefc,
     nhfield=m.nhfield,

@@ -60,7 +60,12 @@ def solve(tp: Topology, m: Model, d: Data) -> Data:
   a0 = d.qacc_smooth
 
   # Elliptic cone bookkeeping (static). `reg` masks rows handled by the
-  # regular per-row cost; cone rows are handled per slot.
+  # regular per-row cost; cone rows are handled per slot, grouped by condim
+  # (each group has a fixed row count cd and k = cd−1 friction dims: 2
+  # tangential, +1 torsional at condim 4, +2 rolling at condim 6 — the
+  # whitened cone stays CIRCULAR in k dims because the assembly sets
+  # D_i = Dn·impratio·(μ_i/μ_1)², so anisotropic friction folds into the
+  # whitening s_i = √(D_i/Dn) and a single μ = μ_1·√(Dn/D_1) remains).
   if m.opt.cone == ConeType.ELLIPTIC:
     cone_slot_idx, cone_adr = elliptic_cone_slots(tp)
   else:
@@ -68,75 +73,90 @@ def solve(tp: Topology, m: Model, d: Data) -> Data:
     cone_adr = np.zeros(0, dtype=int)
   S = len(cone_slot_idx)
   reg_np = np.ones(tp.nefc)
+  cone_groups = []
   if S:
     st = slot_tables(tp, m.opt.cone)
     for k, a in enumerate(cone_adr):
       reg_np[a : a + st.slot_row_num[cone_slot_idx[k]]] = 0.0
+    for cd in sorted(set(st.condim[cone_slot_idx].tolist())):
+      sel = st.condim[cone_slot_idx] == cd
+      slots_g = cone_slot_idx[sel]
+      rows = cone_adr[sel][:, None] + np.arange(cd)[None]  # (Sg, cd)
+      mu0 = d.contact.friction[slots_g, 0]
+      Dn = D[rows[:, 0]]
+      Df = D[rows[:, 1:]]  # (Sg, cd−1)
+      active = Dn > 0
+      safe_Dn = jnp.maximum(Dn, _EPS)
+      s = jnp.sqrt(jnp.maximum(Df, _EPS) / safe_Dn[:, None])  # (Sg, k)
+      mu = mu0 * jnp.sqrt(safe_Dn / jnp.maximum(Df[:, 0], _EPS))
+      cone_groups.append(
+        dict(
+          rows=rows, Dn=Dn, Df=Df, active=active, s=s, mu=mu,
+          one_mu2=1.0 + mu * mu, J=J[rows],
+        )
+      )
   reg = jnp.asarray(reg_np, dtype=dtype)
-  if S:
-    cone_rows = cone_adr[:, None] + np.arange(3)[None]  # (S, 3) row indices
-    mu0 = d.contact.friction[cone_slot_idx, 0]
-    Dn = D[cone_rows[:, 0]]
-    D1 = D[cone_rows[:, 1]]
-    D2 = D[cone_rows[:, 2]]
-    cone_active = Dn > 0
-    safe_Dn = jnp.maximum(Dn, _EPS)
-    s1 = jnp.sqrt(jnp.maximum(D1, _EPS) / safe_Dn)
-    s2 = jnp.sqrt(jnp.maximum(D2, _EPS) / safe_Dn)
-    mu = mu0 * jnp.sqrt(safe_Dn / jnp.maximum(D1, _EPS))
-    one_mu2 = 1.0 + mu * mu
-    J_cone = J[cone_rows]  # (S, 3, nv)
 
-  def _cone_zones(u):
-    """u: (S, 3) cone-row residuals → (a, T, ut_w, top, bottom)."""
+  def _cone_zones(g, u):
+    """u: (Sg, cd) cone-row residuals → zone classification."""
     N = u[:, 0]
-    ut_w = u[:, 1:] * jnp.stack([s1, s2], axis=-1)  # whitened tangentials
+    ut_w = u[:, 1:] * g["s"]  # whitened friction residuals
     T = jnp.sqrt(jnp.sum(ut_w * ut_w, axis=-1) + _EPS)
-    top = mu * T <= N
-    bottom = T <= -mu * N
-    a = (mu * T - N) / one_mu2
+    top = g["mu"] * T <= N
+    bottom = T <= -g["mu"] * N
+    a = (g["mu"] * T - N) / g["one_mu2"]
     return N, ut_w, T, top, bottom, a
 
-  def cone_cost(u):
-    N, ut_w, T, top, bottom, a = _cone_zones(u)
-    c_bot = 0.5 * (Dn * N * N + D1 * u[:, 1] ** 2 + D2 * u[:, 2] ** 2)
-    c_mid = 0.5 * Dn * a * a * one_mu2
-    c = jnp.where(top, 0.0, jnp.where(bottom, c_bot, c_mid))
-    return jnp.sum(jnp.where(cone_active, c, 0.0))
+  def cone_cost(r):
+    total = jnp.asarray(0.0, dtype=dtype)
+    for g in cone_groups:
+      u = r[g["rows"]]
+      N, ut_w, T, top, bottom, a = _cone_zones(g, u)
+      c_bot = 0.5 * (
+        g["Dn"] * N * N + jnp.sum(g["Df"] * u[:, 1:] ** 2, axis=-1)
+      )
+      c_mid = 0.5 * g["Dn"] * a * a * g["one_mu2"]
+      c = jnp.where(top, 0.0, jnp.where(bottom, c_bot, c_mid))
+      total = total + jnp.sum(jnp.where(g["active"], c, 0.0))
+    return total
 
-  def cone_force(u):
-    """Per-row cone forces (S, 3) in row space."""
-    N, ut_w, T, top, bottom, a = _cone_zones(u)
-    f_bot = -jnp.stack([Dn * u[:, 0], D1 * u[:, 1], D2 * u[:, 2]], axis=-1)
-    fn_mid = Dn * a
-    # Tangential: −μ f_n in the whitened direction, mapped back per row:
+  def cone_force_group(g, u):
+    """Per-row cone forces (Sg, cd) in row space."""
+    N, ut_w, T, top, bottom, a = _cone_zones(g, u)
+    f_bot = -jnp.concatenate(
+      [(g["Dn"] * u[:, 0])[:, None], g["Df"] * u[:, 1:]], axis=-1
+    )
+    fn_mid = g["Dn"] * a
+    # Friction rows: −μ f_n in the whitened direction, mapped back per row:
     # f_i = f̃_i s_i with f̃ = −μ fn ut_w/T.
-    ft_mid = -mu[:, None] * fn_mid[:, None] * ut_w / T[:, None]
-    ft_mid = ft_mid * jnp.stack([s1, s2], axis=-1)
+    ft_mid = -g["mu"][:, None] * fn_mid[:, None] * ut_w / T[:, None]
+    ft_mid = ft_mid * g["s"]
     f_mid = jnp.concatenate([fn_mid[:, None], ft_mid], axis=-1)
     f = jnp.where(top[:, None], 0.0, jnp.where(bottom[:, None], f_bot, f_mid))
-    return jnp.where(cone_active[:, None], f, 0.0)
+    return jnp.where(g["active"][:, None], f, 0.0)
 
-  def cone_hess(u):
-    """Per-slot (S, 3, 3) cost Hessians B (row space, exact)."""
-    N, ut_w, T, top, bottom, a = _cone_zones(u)
-    s = jnp.stack([s1, s2], axis=-1)  # (S, 2)
+  def cone_hess_group(g, u):
+    """Per-slot (Sg, cd, cd) cost Hessians B (row space, exact)."""
+    N, ut_w, T, top, bottom, a = _cone_zones(g, u)
+    s, mu, one_mu2, Dn = g["s"], g["mu"], g["one_mu2"], g["Dn"]
     # grad a: [−1, μ s_i² u_i / T] / (1+μ²)   (u_i unwhitened; s²u = s·ut_w)
     g_t = mu[:, None] * s * ut_w / T[:, None] / one_mu2[:, None]
-    g = jnp.concatenate([(-1.0 / one_mu2)[:, None], g_t], axis=-1)  # (S, 3)
-    gg = g[:, :, None] * g[:, None, :]
-    # ∇²a: tangential 2×2 block μ/(1+μ²)·(S²/T − (S²u)(S²u)ᵀ/T³).
+    gr = jnp.concatenate([(-1.0 / one_mu2)[:, None], g_t], axis=-1)
+    gg = gr[:, :, None] * gr[:, None, :]
+    # ∇²a: friction k×k block μ/(1+μ²)·(S²/T − (S²u)(S²u)ᵀ/T³).
     s2u = s * ut_w  # = S² u_t (whitened once more)
     t_outer = s2u[:, :, None] * s2u[:, None, :] / (T ** 3)[:, None, None]
     t_diag = jax.vmap(jnp.diag)(s * s) / T[:, None, None]
     hess_a_t = (mu / one_mu2)[:, None, None] * (t_diag - t_outer)
     hess_a = jnp.zeros_like(gg).at[:, 1:, 1:].set(hess_a_t)
     B_mid = (Dn * one_mu2)[:, None, None] * (gg + a[:, None, None] * hess_a)
-    B_bot = jax.vmap(jnp.diag)(jnp.stack([Dn, D1, D2], axis=-1))
+    B_bot = jax.vmap(jnp.diag)(
+      jnp.concatenate([Dn[:, None], g["Df"]], axis=-1)
+    )
     B = jnp.where(
       top[:, None, None], 0.0, jnp.where(bottom[:, None, None], B_bot, B_mid)
     )
-    return jnp.where(cone_active[:, None, None], B, 0.0)
+    return jnp.where(g["active"][:, None, None], B, 0.0)
 
   def residual(x):
     return J @ x - aref
@@ -156,7 +176,7 @@ def solve(tp: Topology, m: Model, d: Data) -> Data:
     dx = x - a0
     c = 0.5 * dx @ (d.qM @ dx) + jnp.sum(row_cost(residual(x)))
     if S:
-      c = c + cone_cost(residual(x)[cone_rows])
+      c = c + cone_cost(residual(x))
     return c
 
   # Warmstart selection (mj compares smooth vs warmstart cost).
@@ -170,8 +190,10 @@ def solve(tp: Topology, m: Model, d: Data) -> Data:
     huber_f = jnp.clip(quad_f, -fl, fl)
     one_sided_f = jnp.where(r < 0, quad_f, 0.0)
     f = jnp.where(is_fric > 0, huber_f, one_sided_f) * reg
-    if S:
-      f = f.at[cone_rows.reshape(-1)].set(cone_force(r[cone_rows]).reshape(-1))
+    for g in cone_groups:
+      f = f.at[g["rows"].reshape(-1)].set(
+        cone_force_group(g, r[g["rows"]]).reshape(-1)
+      )
     return f
 
   def row_hess(r):
@@ -189,9 +211,9 @@ def solve(tp: Topology, m: Model, d: Data) -> Data:
     grad = d.qM @ (x - a0) - J.T @ force
     w = row_hess(r)
     H = d.qM + (J.T * w[None, :]) @ J
-    if S:
-      B = cone_hess(r[cone_rows])
-      H = H + jnp.einsum("siv,sij,sjw->vw", J_cone, B, J_cone)
+    for g in cone_groups:
+      B = cone_hess_group(g, r[g["rows"]])
+      H = H + jnp.einsum("siv,sij,sjw->vw", g["J"], B, g["J"])
     # Small regularization guards rank-deficient active sets in f32.
     L = jnp.linalg.cholesky(H + 1e-10 * eye)
     y = jax.scipy.linalg.solve_triangular(L, grad, lower=True)
@@ -202,16 +224,15 @@ def solve(tp: Topology, m: Model, d: Data) -> Data:
     mp = d.qM @ p
     p_m_dx = p @ (d.qM @ (x - a0))
     p_m_p = p @ mp
-    if S:
-      jv_cone = jv[cone_rows]  # (S, 3)
 
     def ls_iter(_, alpha):
       ra = r + alpha * jv
       dphi = p_m_dx + alpha * p_m_p - jnp.sum(row_force(ra) * jv)
       ddphi = p_m_p + jnp.sum(row_hess(ra) * jv * jv)
-      if S:
-        B = cone_hess(ra[cone_rows])
-        ddphi = ddphi + jnp.einsum("si,sij,sj->", jv_cone, B, jv_cone)
+      for g in cone_groups:
+        B = cone_hess_group(g, ra[g["rows"]])
+        jvc = jv[g["rows"]]  # (Sg, cd)
+        ddphi = ddphi + jnp.einsum("si,sij,sj->", jvc, B, jvc)
       return alpha - dphi / jnp.maximum(ddphi, 1e-30)
 
     alpha = jax.lax.fori_loop(
@@ -246,7 +267,3 @@ def solve(tp: Topology, m: Model, d: Data) -> Data:
     qfrc_constraint=qfrc_constraint,
     qacc_warmstart=x,
   )
-
-
-def noslip_placeholder():
-  """Reserved: noslip post-solver (not used by the reference tasks)."""

@@ -30,6 +30,36 @@ from flax import struct
 
 
 @dataclasses.dataclass(frozen=True)
+class TerrainGroup:
+  """Runtime-broadphase collision group: mobile geoms of one type vs a pool
+  of static world geoms (box terrains). The static pair table would explode
+  on generated terrains (thousands of boxes × every robot geom); instead a
+  host-built spatial hash over the terrain's xy extent gives each robot geom
+  a fixed candidate list per step, pruned to `ncand` by distance and reduced
+  to `slots` deepest contacts. The reference leans on mjwarp's GPU
+  broadphase for the same problem (reference sim/sim.py:114-126)."""
+
+  robot_type: int  # mjtGeom of the mobile geoms in this group
+  robot_geoms: np.ndarray  # (R,) global geom ids
+  robot_rad: np.ndarray  # (R,) bounding radii (host estimate)
+  pool_type: int  # mjtGeom of the pool geoms (BOX)
+  pool_geoms: np.ndarray  # (P,) global geom ids
+  pool_priority: int  # uniform geom_priority of the pool
+  cells: np.ndarray  # (ncx, ncy, L) global geom ids, -1 padded
+  grid_lo: np.ndarray  # (2,) world xy of the grid corner
+  cell_size: float
+  ncand: int  # top-K candidate pool geoms per robot geom
+  slots: int  # contact slots kept per robot geom
+  condim: np.ndarray  # (R,) combined condim per robot geom
+
+  def __hash__(self) -> int:
+    return id(self)
+
+  def __eq__(self, other: Any) -> bool:
+    return self is other
+
+
+@dataclasses.dataclass(frozen=True)
 class GeomPair:
   """One candidate collision pair with static contact-slot allocation."""
 
@@ -88,8 +118,9 @@ class Topology:
   geom_condim: np.ndarray
   geom_priority: np.ndarray
   geom_dataid: np.ndarray
-  # Convex-hull vertices (geom frame) for mesh geoms in collision pairs.
-  geom_hull_verts: dict  # {geom_id: (V, 3) np.ndarray}
+  # Convex-hull data (geom frame) for mesh geoms in collision pairs
+  # ({geom_id: convex.Hull} — decimated verts + faces + edge directions).
+  geom_hulls: dict
 
   # Sites.
   site_bodyid: np.ndarray
@@ -132,7 +163,10 @@ class Topology:
 
   # Collision pair table (static slot allocation).
   pairs: tuple[GeomPair, ...]
-  ncon_max: int  # total contact slots
+  # Runtime-broadphase terrain groups; their contact slots follow the static
+  # pair slots in Contact/efc ordering.
+  terrain_groups: tuple[TerrainGroup, ...]
+  ncon_max: int  # total contact slots (static pairs + terrain slots)
   nefc: int  # total constraint rows (limits + friction + contacts)
 
   # Heightfield prototypes (static raster data lives in Model.hfield_data).

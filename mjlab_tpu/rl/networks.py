@@ -63,7 +63,7 @@ class ActorCritic(nn.Module):
 
   def _std(self):
     if self.noise_std_type == "scalar":
-      return jnp.clip(self.std_param, a_min=1e-6)
+      return jnp.clip(self.std_param, min=1e-6)
     return jnp.exp(self.std_param)
 
   def __call__(self, actor_obs, critic_obs):

@@ -83,15 +83,19 @@ class UniformVelocityCommand(CommandTerm):
 
     if self.cfg.heading_command:
       assert self.cfg.ranges.heading is not None
-      heading = self._uniform(keys[3], jnp.asarray(self.cfg.ranges.heading))
+      heading = self._uniform(
+        keys[3], jnp.asarray(self.cfg.ranges.heading, dtype=self._env.dtype)
+      )
       st["heading_target"] = jnp.where(env_mask, heading, st["heading_target"])
       is_heading = (
-        jax.random.uniform(keys[4], (self.num_envs,)) <= self.cfg.rel_heading_envs
+        jax.random.uniform(keys[4], (self.num_envs,), dtype=self._env.dtype)
+        <= self.cfg.rel_heading_envs
       )
       st["is_heading_env"] = jnp.where(env_mask, is_heading, st["is_heading_env"])
 
     is_standing = (
-      jax.random.uniform(keys[5], (self.num_envs,)) <= self.cfg.rel_standing_envs
+      jax.random.uniform(keys[5], (self.num_envs,), dtype=self._env.dtype)
+      <= self.cfg.rel_standing_envs
     )
     st["is_standing_env"] = jnp.where(env_mask, is_standing, st["is_standing_env"])
 
@@ -99,7 +103,8 @@ class UniformVelocityCommand(CommandTerm):
       # Kick-start resampled envs with the commanded velocity (reference
       # velocity_command.py:77-92).
       inject = env_mask & (
-        jax.random.uniform(self._env.next_key(), (self.num_envs,))
+        jax.random.uniform(self._env.next_key(), (self.num_envs,),
+                           dtype=self._env.dtype)
         < self.cfg.init_velocity_prob
       )
       data = self.robot.data

@@ -1,6 +1,6 @@
-"""Torsional/rolling friction (condim 4/6, pyramidal cone) parity vs the
+"""Torsional/rolling friction (condim 4/6, both cone types) parity vs the
 MuJoCo C reference: a spinning, rolling ball must decelerate through the
-rotational friction facets exactly like mj_step."""
+rotational friction rows exactly like mj_step."""
 
 import jax
 import jax.numpy as jnp

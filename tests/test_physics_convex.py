@@ -1,0 +1,227 @@
+"""Convex narrowphase (box-box, mesh pairs, terrain broadphase, hfield-box).
+
+The reference gets these pairs from mujoco_warp's GJK/EPA narrowphase
+(reference sim/sim.py:114-126); our SAT+clip engine (physics/convex.py) is
+validated behaviorally against CPU MuJoCo: contact geometry on static
+configurations and settle behavior on dynamic scenes (exact trajectory parity
+is not defined here — MuJoCo's libccd emits different manifolds)."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import mujoco
+import numpy as np
+import pytest
+
+from mjlab_tpu import physics
+
+_CUBE_VERTS = " ".join(
+  f"{0.06 * sx} {0.06 * sy} {0.06 * sz}"
+  for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)
+)
+
+# An octahedron-ish convex solid (flat top/bottom) for mesh tests.
+_OCTA_VERTS = " ".join(
+  [
+    "0.08 0 0", "-0.08 0 0", "0 0.08 0", "0 -0.08 0",
+    "0.04 0.04 0.05", "-0.04 0.04 0.05", "0.04 -0.04 0.05", "-0.04 -0.04 0.05",
+    "0.04 0.04 -0.05", "-0.04 0.04 -0.05", "0.04 -0.04 -0.05",
+    "-0.04 -0.04 -0.05",
+  ]
+)
+
+
+def _run(xml: str, nsteps: int, qvel=None):
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  mjd = mujoco.MjData(mjm)
+  if qvel is not None:
+    mjd.qvel[: len(qvel)] = qvel
+  tp, model = physics.put_model(mjm, dtype=jnp.float64)
+  step = jax.jit(functools.partial(physics.step, tp))
+  d = physics.make_data(tp, model)
+  d = d.replace(qpos=jnp.asarray(mjd.qpos.copy()), qvel=jnp.asarray(mjd.qvel.copy()))
+  for _ in range(nsteps):
+    mujoco.mj_step(mjm, mjd)
+    d = step(model, d)
+  return mjm, mjd, tp, model, d
+
+
+def test_box_on_box_settle():
+  """A small box dropped on a fixed big box settles at the analytic height,
+  and tracks the CPU-MuJoCo settle height."""
+  xml = """
+<mujoco><option timestep="0.002"/>
+  <worldbody>
+    <geom name="base" type="box" size="0.5 0.5 0.2" pos="0 0 0.2"/>
+    <body pos="0.03 -0.02 0.48"><freejoint/>
+      <geom type="box" size="0.05 0.05 0.05"/></body>
+  </worldbody></mujoco>"""
+  mjm, mjd, tp, model, d = _run(xml, 400)
+  z = float(d.qpos[2])
+  # Rest height: base top (0.4) + half size (0.05).
+  assert abs(z - 0.45) < 6e-3, z
+  assert abs(float(mjd.qpos[2]) - z) < 6e-3
+  # Settled: negligible velocity, still upright.
+  assert float(jnp.linalg.norm(d.qvel)) < 0.05
+  assert float(jnp.abs(d.qpos[3])) > 0.99  # quat w
+
+
+def test_box_box_contact_geometry():
+  """Static overlapping boxes: dist/normal match mj_forward's contacts."""
+  xml = """
+<mujoco>
+  <worldbody>
+    <geom name="base" type="box" size="0.5 0.5 0.2" pos="0 0 0.2"/>
+    <body pos="0.1 0.05 0.44"><freejoint/>
+      <geom type="box" size="0.05 0.05 0.05"/></body>
+  </worldbody></mujoco>"""
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  mjd = mujoco.MjData(mjm)
+  mujoco.mj_forward(mjm, mjd)
+  tp, model = physics.put_model(mjm, dtype=jnp.float64)
+  d = physics.make_data(tp, model)
+  d = d.replace(qpos=jnp.asarray(mjd.qpos.copy()))
+  d = physics.forward(tp, model, d)
+  active = np.asarray(d.contact.dist) < np.asarray(d.contact.includemargin)
+  assert active.sum() == 4  # face-face manifold: 4 corners
+  # Penetration −0.01 along +z on each corner.
+  np.testing.assert_allclose(
+    np.asarray(d.contact.dist)[active], -0.01, atol=1e-6
+  )
+  normals = np.asarray(d.contact.frame)[active][:, 0]
+  np.testing.assert_allclose(np.abs(normals[:, 2]), 1.0, atol=1e-6)
+  # MuJoCo agrees on depth.
+  assert mjd.ncon > 0
+  np.testing.assert_allclose(mjd.contact.dist, -0.01, atol=1e-6)
+
+
+def test_mesh_on_box_settle():
+  xml = f"""
+<mujoco><option timestep="0.002"/>
+  <asset><mesh name="cube" vertex="{_CUBE_VERTS}"/></asset>
+  <worldbody>
+    <geom name="base" type="box" size="0.5 0.5 0.2" pos="0 0 0.2"/>
+    <body pos="0.02 0.01 0.48"><freejoint/>
+      <geom type="mesh" mesh="cube"/></body>
+  </worldbody></mujoco>"""
+  mjm, mjd, tp, model, d = _run(xml, 400)
+  z = float(d.qpos[2])
+  assert abs(z - 0.46) < 8e-3, z  # base top 0.4 + half height 0.06
+  assert float(jnp.linalg.norm(d.qvel)) < 0.05
+
+
+def test_mesh_mesh_contact_geometry():
+  xml = f"""
+<mujoco>
+  <asset><mesh name="cube" vertex="{_CUBE_VERTS}"/></asset>
+  <worldbody>
+    <body pos="0 0 0.06"><freejoint/><geom type="mesh" mesh="cube"/></body>
+    <body pos="0.02 0.01 0.17"><freejoint/><geom type="mesh" mesh="cube"/></body>
+  </worldbody></mujoco>"""
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  mjd = mujoco.MjData(mjm)
+  mujoco.mj_forward(mjm, mjd)
+  tp, model = physics.put_model(mjm, dtype=jnp.float64)
+  d = physics.make_data(tp, model)
+  d = d.replace(qpos=jnp.asarray(mjd.qpos.copy()))
+  d = physics.forward(tp, model, d)
+  active = np.asarray(d.contact.dist) < np.asarray(d.contact.includemargin)
+  assert active.sum() >= 1
+  # Gap: top of lower cube 0.12, bottom of upper 0.11 → −0.01.
+  np.testing.assert_allclose(
+    np.asarray(d.contact.dist)[active].min(), -0.01, atol=1e-6
+  )
+  normals = np.asarray(d.contact.frame)[active][:, 0]
+  np.testing.assert_allclose(np.abs(normals[:, 2]), 1.0, atol=1e-6)
+
+
+def test_sphere_and_capsule_on_mesh_settle():
+  xml = f"""
+<mujoco><option timestep="0.002"/>
+  <asset><mesh name="octa" vertex="{_OCTA_VERTS}"/></asset>
+  <worldbody>
+    <geom type="plane" size="5 5 0.1"/>
+    <body name="slab" pos="0 0 0.05"><geom type="mesh" mesh="octa"/></body>
+    <body pos="0.0 0.0 0.22"><freejoint/><geom type="sphere" size="0.04"/></body>
+    <body pos="0.01 0.0 0.35"><freejoint/>
+      <geom type="capsule" fromto="-0.02 0 0 0.02 0 0" size="0.03"/></body>
+  </worldbody></mujoco>"""
+  mjm, mjd, tp, model, d = _run(xml, 500)
+  # The capsule lands on the sphere, knocks it off the octa facet, and both
+  # end near the plane — CPU MuJoCo agrees (sphere z ≈ 0.04 = its radius).
+  # Track MuJoCo's outcome rather than an absolute pose: the mid-air
+  # collision chain is chaotic, so only the settled heights are comparable.
+  assert np.isfinite(np.asarray(d.qpos)).all()
+  assert abs(float(d.qpos[2]) - float(mjd.qpos[2])) < 1e-2
+  assert abs(float(d.qpos[9]) - float(mjd.qpos[9])) < 1.5e-2
+  assert float(d.qpos[9]) > 0.02  # capsule center above ground
+
+
+def test_terrain_broadphase_pool():
+  """>64 static world boxes: pairs are pooled into a broadphase group and a
+  dropped sphere still finds the right support height."""
+  boxes = "\n".join(
+    f'<geom type="box" size="0.25 0.25 0.1" pos="{0.5 * (i % 10) - 2.25} '
+    f'{0.5 * (i // 10) - 2.25} 0.1"/>'
+    for i in range(100)
+  )
+  xml = f"""
+<mujoco><option timestep="0.002"/>
+  <worldbody>
+    {boxes}
+    <body pos="0.1 0.05 0.5"><freejoint/><geom type="sphere" size="0.08"/></body>
+  </worldbody></mujoco>"""
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  tp, model = physics.put_model(mjm, dtype=jnp.float64)
+  assert len(tp.terrain_groups) == 1
+  assert len(tp.pairs) == 0
+  assert tp.ncon_max == tp.terrain_groups[0].slots  # one robot geom
+  mjm2, mjd, tp, model, d = _run(xml, 400)
+  z = float(d.qpos[2])
+  assert abs(z - 0.28) < 5e-3, z  # box top 0.2 + radius 0.08
+  assert abs(float(mjd.qpos[2]) - z) < 5e-3
+
+
+def test_terrain_broadphase_box_robot():
+  """A box object on the pooled terrain (box-box through the broadphase)."""
+  boxes = "\n".join(
+    f'<geom type="box" size="0.25 0.25 0.1" pos="{0.5 * (i % 10) - 2.25} '
+    f'{0.5 * (i // 10) - 2.25} 0.1"/>'
+    for i in range(100)
+  )
+  xml = f"""
+<mujoco><option timestep="0.002"/>
+  <worldbody>
+    {boxes}
+    <body pos="0.05 0.02 0.5"><freejoint/><geom type="box" size="0.06 0.06 0.06"/></body>
+  </worldbody></mujoco>"""
+  mjm, mjd, tp, model, d = _run(xml, 400)
+  z = float(d.qpos[2])
+  assert abs(z - 0.26) < 6e-3, z
+  assert float(jnp.linalg.norm(d.qvel)) < 0.05
+
+
+def test_hfield_box_settle():
+  xml = """
+<mujoco><option timestep="0.002"/>
+  <asset>
+    <hfield name="terrain" nrow="20" ncol="20" size="2 2 0.3 0.1"/>
+  </asset>
+  <worldbody>
+    <geom type="hfield" hfield="terrain"/>
+    <body pos="0.0 0.0 0.4"><freejoint/><geom type="box" size="0.05 0.05 0.05"/></body>
+  </worldbody></mujoco>"""
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  # Flat raster at half elevation.
+  mjm.hfield_data[:] = 0.5
+  mjd = mujoco.MjData(mjm)
+  tp, model = physics.put_model(mjm, dtype=jnp.float64)
+  step = jax.jit(functools.partial(physics.step, tp))
+  d = physics.make_data(tp, model)
+  d = d.replace(qpos=jnp.asarray(mjd.qpos.copy()))
+  for _ in range(400):
+    d = step(model, d)
+  z = float(d.qpos[2])
+  assert abs(z - 0.20) < 6e-3, z  # surface 0.15 + half size 0.05
+  assert float(jnp.linalg.norm(d.qvel)) < 0.05

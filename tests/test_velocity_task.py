@@ -44,6 +44,7 @@ def test_cfg_loading():
 
 
 @pytest.mark.slow
+@pytest.mark.filterwarnings("error::FutureWarning")
 def test_go1_flat_env_steps():
   cfg = tasks.load_cfg_from_registry(
     "Mjlab-Velocity-Flat-Unitree-Go1", "env_cfg_entry_point"
@@ -61,3 +62,26 @@ def test_go1_flat_env_steps():
   # Standing on the plane near spawn height, not fallen/exploded.
   z = np.asarray(env.state.data.qpos[:, 2])
   assert (z > 0.15).all() and (z < 0.5).all()
+
+
+@pytest.mark.slow
+def test_asimov_rough_env_steps():
+  """Asimov (all-mesh collision geoms) on GENERATED rough terrain — the
+  mesh-vs-box / mesh-vs-hfield narrowphase the reference gets from mjwarp
+  (reference sim/sim.py:114-126). Shrunk 2x2 terrain grid for CPU speed."""
+  cfg = tasks.load_cfg_from_registry(
+    "Mjlab-Velocity-Rough-Asimov", "env_cfg_entry_point"
+  )
+  cfg.scene.num_envs = 4
+  gen = cfg.scene.terrain.terrain_generator
+  gen.num_rows = 2
+  gen.num_cols = 2
+  env = gym.make("Mjlab-Velocity-Rough-Asimov", cfg=cfg).unwrapped
+  # Mesh pairs exist (self-collision + terrain contacts for mesh geoms).
+  assert len(env.sim.tp.pairs) > 0
+  obs, _ = env.reset(seed=0)
+  action = jnp.zeros((4, env.action_manager.total_action_dim), dtype=env.dtype)
+  for _ in range(3):
+    obs, rew, term, trunc, extras = env.step(action)
+  assert np.isfinite(np.asarray(obs["policy"])).all()
+  assert np.isfinite(np.asarray(rew)).all()
