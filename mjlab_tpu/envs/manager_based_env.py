@@ -167,7 +167,7 @@ class ManagerBasedEnv:
     return key
 
   def contact_forces(self) -> jax.Array:
-    """(B, C, 3) contact-frame forces for all slots."""
+    """(B, C, 6) contact-frame wrenches (force + torque) for all slots."""
     return self._contact_forces_fn(self.model, self._data)
 
   # -- managers ----------------------------------------------------------------

@@ -5,7 +5,8 @@ instead of expanding to native mjSENS_CONTACT sensors with intprm match
 machinery, we resolve the (primary × secondary) geom matches to *static
 contact-slot index sets* in the engine's pair table at initialize time, and
 reduce over them with fixed shapes every step. Field/reduce semantics follow
-the reference (found/force/dist/pos/normal; none/mindist/maxforce/netforce),
+the reference (found/force/torque/dist/pos/normal/tangent;
+none/mindist/maxforce/netforce — reference contact_sensor.py:16-41),
 and the air-time state machine (contact_sensor.py:113-121,327-367) is carried
 as functional state.
 """
@@ -55,7 +56,7 @@ class ContactSensorCfg(SensorCfg):
 class ContactData:
   found: jax.Array | None = None  # [B, N]
   force: jax.Array | None = None  # [B, N, 3]
-  torque: jax.Array | None = None  # [B, N, 3] (zero: point contacts)
+  torque: jax.Array | None = None  # [B, N, 3] torsion/rolling (condim ≥ 4)
   dist: jax.Array | None = None  # [B, N]
   pos: jax.Array | None = None  # [B, N, 3]
   normal: jax.Array | None = None  # [B, N, 3]
@@ -81,9 +82,6 @@ def _match_names(patterns, names, exclude):
 class ContactSensor(Sensor[ContactData]):
   def __init__(self, cfg: ContactSensorCfg) -> None:
     self.cfg = cfg
-    if cfg.global_frame and cfg.reduce != "netforce":
-      if "normal" not in cfg.fields or "tangent" not in cfg.fields:
-        raise ValueError("global_frame requires 'normal' and 'tangent' fields.")
 
   def edit_spec(self, spec: mujoco.MjSpec, entities: dict[str, Any]) -> None:
     # No spec additions needed: slots are resolved from the engine pair table.
@@ -155,24 +153,31 @@ class ContactSensor(Sensor[ContactData]):
     else:
       secondary = None
 
-    # Slot geom pairs, in pair-table order.
-    slot_g1, slot_g2 = [], []
+    # Slot geom sets, in slot-table order: static pairs, then terrain-group
+    # slots (whose geom1 varies at runtime over the terrain pool — matched
+    # against the whole pool, see physics/types.TerrainGroup).
+    slot_s1: list[frozenset] = []
+    slot_s2: list[frozenset] = []
     for p in tp.pairs:
       for _ in range(p.ncon):
-        slot_g1.append(p.geom1)
-        slot_g2.append(p.geom2)
-    slot_g1 = np.asarray(slot_g1)
-    slot_g2 = np.asarray(slot_g2)
+        slot_s1.append(frozenset((p.geom1,)))
+        slot_s2.append(frozenset((p.geom2,)))
+    for tg in tp.terrain_groups:
+      pool = frozenset(int(g) for g in tg.pool_geoms)
+      for g in tg.robot_geoms:
+        for _ in range(tg.slots):
+          slot_s1.append(pool)
+          slot_s2.append(frozenset((int(g),)))
 
     self.item_names = [n for n, _ in primaries]
     per_item_slots, per_item_flip = [], []
     for name, pset in primaries:
       slots, flips = [], []
-      for k in range(len(slot_g1)):
-        g1, g2 = int(slot_g1[k]), int(slot_g2[k])
-        p1, p2 = g1 in pset, g2 in pset
-        s1 = secondary is None or g1 in secondary
-        s2 = secondary is None or g2 in secondary
+      for k in range(len(slot_s1)):
+        s1set, s2set = slot_s1[k], slot_s2[k]
+        p1, p2 = bool(s1set & pset), bool(s2set & pset)
+        s1 = secondary is None or bool(s1set & secondary)
+        s2 = secondary is None or bool(s2set & secondary)
         if p1 and s2:
           slots.append(k)
           flips.append(1.0)  # force on geom2... primary is g1 → flip
@@ -249,39 +254,65 @@ class ContactSensor(Sensor[ContactData]):
     out = ContactData()
     if "found" in cfg.fields:
       out.found = found.astype(self._ctx.dtype)
-    need_force = "force" in cfg.fields or cfg.reduce in ("maxforce", "netforce")
+    need_force = (
+      "force" in cfg.fields
+      or "torque" in cfg.fields
+      or cfg.reduce in ("maxforce", "netforce")
+    )
     if need_force:
-      f_local_all = self._ctx.contact_forces()  # (B, C, 3)
-      f_local = f_local_all[:, idx] * active[..., None]  # (B, N, S, 3)
+      w_all = self._ctx.contact_forces()  # (B, C, 6) wrench, contact frame
+      f_local = w_all[:, idx, :3] * active[..., None]  # (B, N, S, 3)
+      t_local = w_all[:, idx, 3:] * active[..., None]
     frames = d.contact.frame[:, idx]  # (B, N, S, 3, 3)
     pos = d.contact.pos[:, idx]
 
+    def pick(a, sel):
+      return jnp.take_along_axis(a, sel[..., None, None], axis=2)[:, :, 0]
+
+    torque = None
     if cfg.reduce == "netforce":
-      # World-frame net force on the primary.
+      # World-frame net wrench on the primary; torque is taken about the
+      # active-weighted centroid of the contact points (the reference's
+      # mjSENS_CONTACT netforce reduce combines contacts the same way).
       f_world = jnp.einsum("bnsi,bnsij->bnsj", f_local, frames) * sign[..., None]
       force = jnp.sum(f_world, axis=2)
+      if "torque" in cfg.fields:
+        t_world = jnp.einsum("bnsi,bnsij->bnsj", t_local, frames) * sign[..., None]
+        wsum = jnp.maximum(jnp.sum(active, axis=-1, keepdims=True), 1)
+        centroid = (
+          jnp.sum(pos * active[..., None], axis=2) / wsum
+        )  # (B, N, 3)
+        arm = pos - centroid[:, :, None]
+        torque = jnp.sum(t_world + jnp.cross(arm, f_world), axis=2)
       sel = jnp.argmin(jnp.where(active, dist, jnp.inf), axis=-1)
-    elif cfg.reduce == "maxforce":
-      normal_mag = jnp.where(active, jnp.abs(f_local[..., 0]), -jnp.inf)
-      sel = jnp.argmax(normal_mag, axis=-1)  # (B, N)
-      force = jnp.take_along_axis(f_local, sel[..., None, None], axis=2)[:, :, 0]
-    elif cfg.reduce == "mindist":
-      sel = jnp.argmin(jnp.where(valid, dist, jnp.inf), axis=-1)
-      if need_force:
-        force = jnp.take_along_axis(f_local, sel[..., None, None], axis=2)[:, :, 0]
-      else:
-        force = None
-    else:  # "none": first valid slot
-      sel = jnp.argmax(active, axis=-1)
-      force = (
-        jnp.take_along_axis(f_local, sel[..., None, None], axis=2)[:, :, 0]
-        if need_force
-        else None
-      )
+    else:
+      if cfg.reduce == "maxforce":
+        normal_mag = jnp.where(active, jnp.abs(f_local[..., 0]), -jnp.inf)
+        sel = jnp.argmax(normal_mag, axis=-1)  # (B, N)
+      elif cfg.reduce == "mindist":
+        sel = jnp.argmin(jnp.where(valid, dist, jnp.inf), axis=-1)
+      else:  # "none": first valid slot
+        sel = jnp.argmax(active, axis=-1)
+      force = pick(f_local, sel) if need_force else None
+      if need_force and "torque" in cfg.fields:
+        torque = pick(t_local, sel)
+      if cfg.global_frame and need_force:
+        # Rotate the selected wrench into the world frame, oriented as the
+        # force/torque ON the primary (sign flips when primary is geom1).
+        frame_s = pick(frames.reshape(frames.shape[:3] + (9,)), sel).reshape(
+          frames.shape[:2] + (3, 3)
+        )
+        sgn_s = jnp.take_along_axis(
+          jnp.broadcast_to(sign, dist.shape[:1] + sign.shape), sel[..., None], -1
+        )
+        force = jnp.einsum("bni,bnij->bnj", force, frame_s) * sgn_s
+        if torque is not None:
+          torque = jnp.einsum("bni,bnij->bnj", torque, frame_s) * sgn_s
 
     if "force" in cfg.fields:
       out.force = force
-      out.torque = jnp.zeros_like(force)
+    if "torque" in cfg.fields:
+      out.torque = torque
     if "dist" in cfg.fields:
       out.dist = jnp.take_along_axis(dist, sel[..., None], axis=-1)[..., 0]
     if "pos" in cfg.fields:
