@@ -1,14 +1,19 @@
 """Benchmark harness: env-steps/s on the flagship G1 velocity task.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"} — the
+headline eval-stepping number the driver records each round. Unless
+BENCH_FAST=1 (or a single mode is forced via BENCH_MODE), it ALSO measures
+the full-PPO training iteration and a 1k/4k/16k env-count scaling curve and
+writes every row to BENCH_DETAIL.json, so regressions in the update path are
+visible round over round (VERDICT r1 item 4), not just bare env stepping.
 
 The reference publishes no numbers (BASELINE.md); the driver-set north star
 is >=1M env-steps/s aggregate at 4096 envs/chip, so vs_baseline is reported
 relative to that 1M env-steps/s target.
 
 Env overrides: BENCH_TASK, BENCH_NUM_ENVS, BENCH_STEPS, BENCH_WARMUP.
-BENCH_MODE=train benches the FULL PPO training iteration (rollout +
-minibatch updates) instead of bare env stepping.
+BENCH_MODE=eval|train restricts to one mode at BENCH_NUM_ENVS (one line,
+no detail file). BENCH_FAST=1 runs the headline eval only.
 """
 
 from __future__ import annotations
@@ -18,33 +23,25 @@ import os
 import sys
 import time
 
+_TARGET = 1_000_000.0  # driver north star, env-steps/s
 
-def main() -> None:
-  os.environ.setdefault("XLA_PYTHON_CLIENT_MEM_FRACTION", "0.9")
-  import jax
-  import jax.numpy as jnp
 
-  jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_mjlab")
-  jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
-  task = os.environ.get("BENCH_TASK", "Mjlab-Velocity-Flat-Unitree-G1")
-  num_envs = int(os.environ.get("BENCH_NUM_ENVS", "4096"))
-  steps = int(os.environ.get("BENCH_STEPS", "50"))
-  warmup = int(os.environ.get("BENCH_WARMUP", "5"))
-
+def _make_env(task: str, num_envs: int):
   import mjlab_tpu.tasks as tasks
   from mjlab_tpu.envs import ManagerBasedRlEnv
 
   cfg = tasks.load_cfg_from_registry(task, "env_cfg_entry_point")
   cfg.scene.num_envs = num_envs
   cfg.sim.dtype = "float32"
-  env = ManagerBasedRlEnv(cfg)
+  return ManagerBasedRlEnv(cfg)
 
-  if os.environ.get("BENCH_MODE") == "train":
-    _bench_train(task, env, num_envs)
-    return
+
+def _bench_eval(task: str, num_envs: int, steps: int, warmup: int) -> dict:
+  """Bare env stepping with a fixed random action."""
+  import jax
+
+  env = _make_env(task, num_envs)
   env.reset(seed=0)
-
   key = jax.random.key(0)
   action = 0.1 * jax.random.normal(
     key, (num_envs, env.action_manager.total_action_dim), dtype=env.dtype
@@ -54,17 +51,13 @@ def main() -> None:
   step = env._jit_step
   for _ in range(warmup):
     state, out = step(state, action)
-  jax.tree_util.tree_map(
-    lambda x: x.block_until_ready() if hasattr(x, "block_until_ready") else x,
-    out,
-  )
+  jax.block_until_ready(out[1])
 
   t0 = time.perf_counter()
   for _ in range(steps):
     state, out = step(state, action)
   jax.block_until_ready(out[1])
   dt = time.perf_counter() - t0
-
   env_steps_per_s = num_envs * steps / dt
 
   # Sanity: physics stayed finite. (This device→host pull happens AFTER the
@@ -72,31 +65,28 @@ def main() -> None:
   # see docs/PERF_NOTES.md.)
   import numpy as np
 
-  qpos = np.asarray(jax.device_get(state.qpos if hasattr(state, "qpos")
-                                   else state.data.qpos))
+  qpos = np.asarray(jax.device_get(state.data.qpos))
   finite = bool(np.isfinite(qpos).all())
-
-  target = 1_000_000.0
-  print(
-    json.dumps(
-      {
-        "metric": f"env_steps_per_s ({task}, {num_envs} envs, "
-        f"{jax.devices()[0].platform}, finite={finite})",
-        "value": round(env_steps_per_s, 1),
-        "unit": "env-steps/s",
-        "vs_baseline": round(env_steps_per_s / target, 4),
-      }
-    )
-  )
+  del env, state, out
+  return {
+    "metric": f"env_steps_per_s ({task}, {num_envs} envs, "
+    f"{jax.devices()[0].platform}, finite={finite})",
+    "mode": "eval",
+    "num_envs": num_envs,
+    "value": round(env_steps_per_s, 1),
+    "unit": "env-steps/s",
+    "vs_baseline": round(env_steps_per_s / _TARGET, 4),
+  }
 
 
-def _bench_train(task: str, env, num_envs: int) -> None:
-  """Full PPO training-iteration throughput (rollout + update)."""
+def _bench_train(task: str, num_envs: int, iters: int) -> dict:
+  """Full PPO training-iteration throughput (rollout + minibatch updates)."""
   import jax
 
   import mjlab_tpu.tasks as tasks
   from mjlab_tpu.rl.runner import OnPolicyRunner
 
+  env = _make_env(task, num_envs)
   agent = tasks.load_cfg_from_registry(task, "rl_cfg_entry_point")
   runner = OnPolicyRunner(env, agent)
   state = runner.state
@@ -105,26 +95,82 @@ def _bench_train(task: str, env, num_envs: int) -> None:
     state, metrics = runner._train_iter(state)
   jax.block_until_ready(metrics["Loss/loss"])
 
-  iters = int(os.environ.get("BENCH_STEPS", "5"))
   t0 = time.perf_counter()
   for _ in range(iters):
     state, metrics = runner._train_iter(state)
   jax.block_until_ready(metrics["Loss/loss"])
   dt = time.perf_counter() - t0
   steps = num_envs * agent.num_steps_per_env * iters
-  target = 1_000_000.0
   v = steps / dt
-  print(
-    json.dumps(
-      {
-        "metric": f"train_env_steps_per_s ({task}, {num_envs} envs, full PPO "
-        f"iteration, {jax.devices()[0].platform})",
-        "value": round(v, 1),
-        "unit": "env-steps/s",
-        "vs_baseline": round(v / target, 4),
-      }
+  del env, runner, state, metrics
+  return {
+    "metric": f"train_env_steps_per_s ({task}, {num_envs} envs, full PPO "
+    f"iteration, {jax.devices()[0].platform})",
+    "mode": "train",
+    "num_envs": num_envs,
+    "value": round(v, 1),
+    "unit": "env-steps/s",
+    "vs_baseline": round(v / _TARGET, 4),
+  }
+
+
+def main() -> None:
+  os.environ.setdefault("XLA_PYTHON_CLIENT_MEM_FRACTION", "0.9")
+  import jax
+
+  # The ambient TPU-tunnel PJRT plugin only honors the config value, not the
+  # JAX_PLATFORMS env var — mirror the env var so BENCH runs on the platform
+  # the caller asked for (same workaround as __graft_entry__.dryrun_multichip).
+  if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+  jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_mjlab")
+  jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+  task = os.environ.get("BENCH_TASK", "Mjlab-Velocity-Flat-Unitree-G1")
+  num_envs = int(os.environ.get("BENCH_NUM_ENVS", "4096"))
+  steps = int(os.environ.get("BENCH_STEPS", "50"))
+  warmup = int(os.environ.get("BENCH_WARMUP", "5"))
+  mode = os.environ.get("BENCH_MODE")
+
+  def headline_line(row: dict) -> str:
+    # The driver contract is ONE JSON line with exactly these keys.
+    return json.dumps(
+      {k: row[k] for k in ("metric", "value", "unit", "vs_baseline")}
     )
+
+  if mode == "train":
+    print(headline_line(_bench_train(task, num_envs, max(steps // 10, 3))))
+    return
+  if mode == "eval" or os.environ.get("BENCH_FAST"):
+    print(headline_line(_bench_eval(task, num_envs, steps, warmup)))
+    return
+
+  # Full sweep: headline eval, train iteration, and a train scaling curve.
+  rows = [_bench_eval(task, num_envs, steps, warmup)]
+  headline = rows[0]
+  train_iters = max(steps // 10, 3)
+  scale = tuple(
+    int(s)
+    for s in os.environ.get("BENCH_SCALE", f"1024,{num_envs},16384").split(",")
   )
+  for n in scale:
+    try:
+      rows.append(_bench_train(task, n, train_iters))
+    except Exception as e:  # record the failure, keep the headline valid
+      rows.append(
+        {"metric": f"train_env_steps_per_s ({task}, {n} envs)",
+         "mode": "train", "num_envs": n, "error": repr(e)}
+      )
+  detail = {
+    "task": task,
+    "platform": jax.devices()[0].platform,
+    "target_env_steps_per_s": _TARGET,
+    "rows": rows,
+  }
+  with open(os.path.join(os.path.dirname(__file__) or ".",
+                         "BENCH_DETAIL.json"), "w") as f:
+    json.dump(detail, f, indent=1)
+  print(headline_line(headline))
 
 
 if __name__ == "__main__":

@@ -72,3 +72,62 @@ def parse_args(argv: Sequence[str]) -> tuple[list[str], dict[str, str]]:
       positionals.append(arg)
     i += 1
   return positionals, overrides
+
+
+# ---------------------------------------------------------------------------
+# Generated --help for nested dataclass configs (reference tyro behavior,
+# scripts/train.py:127-156: every nested field is an overridable flag).
+# ---------------------------------------------------------------------------
+
+
+def _is_leaf(value: Any) -> bool:
+  import dataclasses
+
+  if dataclasses.is_dataclass(value) and not isinstance(value, type):
+    return False
+  if isinstance(value, dict):
+    return False
+  return True
+
+
+def iter_leaves(obj: Any, prefix: str = ""):
+  """Yield (dotted_path, value) for every overridable field of a nested
+  dataclass/dict config, in declaration order."""
+  import dataclasses
+
+  if dataclasses.is_dataclass(obj) and not isinstance(obj, type):
+    items = [(f.name, getattr(obj, f.name)) for f in dataclasses.fields(obj)]
+  elif isinstance(obj, dict):
+    items = list(obj.items())
+  else:
+    return
+  for name, value in items:
+    if callable(value) or isinstance(value, type):
+      continue  # term functions / class_type handles are not CLI-settable
+    path = f"{prefix}.{name}" if prefix else str(name)
+    if _is_leaf(value):
+      yield path, value
+    else:
+      yield from iter_leaves(value, path)
+
+
+def format_help(sections: dict[str, Any], usage: str) -> str:
+  """Render a tyro-style flag listing: one line per overridable leaf with
+  its type and current (default) value, grouped by section prefix."""
+  lines = [usage, ""]
+  for section, cfg in sections.items():
+    rows = []
+    for path, value in iter_leaves(cfg, section):
+      tname = type(value).__name__ if value is not None else "Any"
+      sval = repr(value)
+      if len(sval) > 48:
+        sval = sval[:45] + "..."
+      rows.append((f"--{path}", tname, sval))
+    if not rows:
+      continue
+    lines.append(f"{section} options:")
+    width = min(max(len(r[0]) for r in rows), 52)
+    for flag, tname, sval in rows:
+      lines.append(f"  {flag:<{width}}  {tname:<8} (default: {sval})")
+    lines.append("")
+  return "\n".join(lines)

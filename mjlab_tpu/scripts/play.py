@@ -124,6 +124,20 @@ def main() -> None:
   if not positionals:
     print("usage: play <Task-ID> [--checkpoint ..] [--policy zero|random|trained]")
     sys.exit(1)
+  if "help" in overrides:
+    import mjlab_tpu.tasks as tasks
+    from mjlab_tpu.scripts.cli import format_help
+
+    task = positionals[0]
+    print(
+      format_help(
+        {"env": tasks.load_cfg_from_registry(task, "env_cfg_entry_point")},
+        usage=f"usage: play {task} [--env.<field> v] [--checkpoint ..] "
+        "[--policy zero|random|trained] [--num_envs n] [--steps n] "
+        "[--viewer native|viser|none] [--video out.mp4]",
+      )
+    )
+    sys.exit(0)
   run_play(positionals[0], overrides)
 
 

@@ -100,17 +100,35 @@ def run_train(task: str, overrides: dict[str, str]) -> None:
 
 
 def main() -> None:
-  from mjlab_tpu.scripts.cli import parse_args
+  from mjlab_tpu.scripts.cli import format_help, parse_args
 
   positionals, overrides = parse_args(sys.argv[1:])
   if not positionals:
     import mjlab_tpu.tasks as tasks
 
     print("usage: train <Task-ID> [--env.x.y v] [--agent.x v]")
+    print("run `train <Task-ID> --help` to list every overridable field")
     print("available tasks:")
     for t in tasks.list_tasks():
       print(f"  {t}")
     sys.exit(1)
+  if "help" in overrides:
+    # Generated per-field help for the task's nested configs (reference
+    # tyro CLI, scripts/train.py:127-156).
+    import mjlab_tpu.tasks as tasks
+
+    task = positionals[0]
+    print(
+      format_help(
+        {
+          "env": tasks.load_cfg_from_registry(task, "env_cfg_entry_point"),
+          "agent": tasks.load_cfg_from_registry(task, "rl_cfg_entry_point"),
+        },
+        usage=f"usage: train {task} [--env.<field> v] [--agent.<field> v] "
+        "[--log_dir d] [--profile n] [--enable_nan_guard]",
+      )
+    )
+    sys.exit(0)
   run_train(positionals[0], overrides)
 
 
