@@ -383,8 +383,23 @@ class MotionCommand(CommandTerm):
       )
       st["current_bin_failed"] = jnp.zeros_like(st["current_bin_failed"])
 
-  # Viewer hook (reference commands.py:414-478); host-side frames mode.
+  # Viewer hook (reference commands.py:414-478): ghost mode renders the full
+  # robot at the motion's target pose (anchor root + motion joint positions)
+  # via the visualizer's ghost-mesh path; frames mode draws desired/current
+  # body triads.
   def debug_vis(self, visualizer) -> None:
+    if self.cfg.viz.mode == "ghost" and hasattr(visualizer, "add_ghost_mesh"):
+      i = visualizer.env_idx
+      idxg = self.robot.indexing
+      # Scatter the target pose into a full scene qpos (the ghost model is
+      # the scene's MjModel, which may carry more than this entity).
+      qpos = np.asarray(self._env.state.data.qpos[i]).copy()
+      qpos[idxg.free_joint_q_adr] = np.concatenate(
+        [np.asarray(self.anchor_pos_w)[i], np.asarray(self.anchor_quat_w)[i]]
+      )
+      qpos[idxg.joint_q_adr] = np.asarray(self.joint_pos)[i]
+      visualizer.add_ghost_mesh(qpos)
+      return
     desired_pos = np.asarray(self.body_pos_w)[visualizer.env_idx]
     desired_rotm = np.asarray(mt.quat_to_mat(self.body_quat_w))[visualizer.env_idx]
     current_pos = np.asarray(self.robot_body_pos_w)[visualizer.env_idx]

@@ -34,14 +34,25 @@ class DebugVisualizer(Protocol):
 
 
 class MjvDebugVisualizer:
-  """Draws debug geoms into an mjvScene (used by the native viewer)."""
+  """Draws debug geoms into an mjvScene (used by the native viewer).
 
-  def __init__(self, scene, env_idx: int = 0) -> None:
+  When constructed with a model, `add_ghost_mesh` renders a full
+  semi-transparent robot at an arbitrary qpos via mjv_addGeoms (reference
+  mujoco_native_visualizer.py:77-110); without one it is a no-op."""
+
+  def __init__(self, scene, env_idx: int = 0, mj_model=None) -> None:
     import mujoco
 
     self._mj = mujoco
     self.scene = scene
     self.env_idx = env_idx
+    self._mj_model = mj_model
+    self._ghost_data = None
+    if mj_model is not None:
+      self._ghost_data = mujoco.MjData(mj_model)
+      self._ghost_opt = mujoco.MjvOption()
+      self._ghost_opt.flags[mujoco.mjtVisFlag.mjVIS_TRANSPARENT] = True
+      self._ghost_pert = mujoco.MjvPerturb()
 
   def _add_geom(self, gtype, size, pos, mat, rgba) -> None:
     scn = self.scene
@@ -84,5 +95,12 @@ class MjvDebugVisualizer:
       )
 
   def add_ghost_mesh(self, qpos, model=None) -> None:
-    # Ghost rendering requires a second model pass; approximated by frames.
-    pass
+    model = model if model is not None else self._mj_model
+    if model is None or self._ghost_data is None:
+      return
+    self._ghost_data.qpos[:] = np.asarray(qpos)
+    self._mj.mj_forward(model, self._ghost_data)
+    self._mj.mjv_addGeoms(
+      model, self._ghost_data, self._ghost_opt, self._ghost_pert,
+      self._mj.mjtCatBit.mjCAT_DYNAMIC.value, self.scene,
+    )

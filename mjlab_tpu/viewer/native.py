@@ -1,29 +1,45 @@
-"""Native MuJoCo window viewer with env cycling, debug overlays and live
-reward plots.
+"""Native MuJoCo window viewer with env cycling, interactive perturbation,
+debug overlays and live reward plots.
 
 Mirrors the reference NativeMujocoViewer (viewer/native.py:45): a passive
 mujoco.viewer window driven by the paced BaseViewer loop; keyboard controls
-(space pause, ±speed, [] env cycling, R toggles reward plots); command-term
-debug arrows drawn into the user scene each frame; per-reward-term
-mjvFigure panels with rolling history and percentile y-autoscaling
-(reference native.py:337-397 — whose set_figures call the reference ships
-commented out; here it runs when the viewer handle supports it)."""
+routed through the thread-safe action queue (ENTER reset, space pause,
+-/= speed, ,/. or [] env cycling, P reward plots, R debug overlays,
+Shift+C contact points, Shift+F contact forces); ctrl-drag perturbation
+forces broadcast back into the batched device state (reference
+native.py:197-205); other envs rendered as ghosts; command-term debug
+arrows drawn into the user scene each frame; per-reward-term mjvFigure
+panels with rolling history and percentile y-autoscaling (reference
+native.py:337-397 — whose set_figures call the reference ships commented
+out; here it runs when the viewer handle supports it)."""
 
 from __future__ import annotations
 
+import time
 from collections import deque
 
 import numpy as np
 
-from mjlab_tpu.viewer.base import BaseViewer, ViewerConfig
+from mjlab_tpu.viewer.base import BaseViewer, ViewerAction, ViewerConfig
+from mjlab_tpu.viewer.contact_vis import compute_contact_visuals
 from mjlab_tpu.viewer.debug_visualizer import MjvDebugVisualizer
 
+_KEY_ENTER = 257
 _KEY_SPACE = 32
+_KEY_COMMA = 44
+_KEY_PERIOD = 46
 _KEY_LBRACKET = 91
 _KEY_RBRACKET = 93
 _KEY_MINUS = 45
 _KEY_EQUAL = 61
+_KEY_C = 67
+_KEY_F = 70
+_KEY_P = 80
 _KEY_R = 82
+
+# Ghost rendering of non-selected envs is capped: each ghost is a full
+# mj_forward + mjv_addGeoms per frame on the host.
+_MAX_GHOST_ENVS = 4
 
 
 class RewardFigures:
@@ -98,7 +114,8 @@ class RewardFigures:
 
 
 class NativeMujocoViewer(BaseViewer):
-  def __init__(self, env, policy, cfg: ViewerConfig | None = None):
+  def __init__(self, env, policy, cfg: ViewerConfig | None = None,
+               enable_perturbations: bool = True, verbose: bool = False):
     super().__init__(env, policy, cfg)
     import mujoco
     import mujoco.viewer
@@ -108,6 +125,13 @@ class NativeMujocoViewer(BaseViewer):
     self.mj_data = mujoco.MjData(self.mj_model)
     self._viewer = None
     self._show_plots = True
+    self._show_debug_vis = True
+    self._show_contact_points = False
+    self._show_contact_forces = False
+    self.enable_perturbations = enable_perturbations
+    self._verbose = verbose
+    self._last_status = 0.0
+    self._vd = None  # scratch MjData for ghost envs
     terms = list(getattr(getattr(env, "reward_manager", None), "active_terms",
                          []))
     self._reward_figs = RewardFigures(terms) if terms else None
@@ -121,23 +145,62 @@ class NativeMujocoViewer(BaseViewer):
     cam.distance = self.cfg.distance
     cam.elevation = self.cfg.elevation
     cam.azimuth = self.cfg.azimuth
+    if self.env.num_envs > 1:
+      self._vd = self._mj.MjData(self.mj_model)
 
   def _on_key(self, key: int) -> None:
-    if key == _KEY_SPACE:
-      self.toggle_pause()
-    elif key == _KEY_RBRACKET:
-      self.next_env()
-    elif key == _KEY_LBRACKET:
-      self.prev_env()
+    # Runs on the viewer thread: queue only (reference native.py:224-256).
+    if key == _KEY_ENTER:
+      self.request(ViewerAction.RESET)
+    elif key == _KEY_SPACE:
+      self.request(ViewerAction.TOGGLE_PAUSE)
+    elif key in (_KEY_RBRACKET, _KEY_PERIOD):
+      self.request(ViewerAction.NEXT_ENV)
+    elif key in (_KEY_LBRACKET, _KEY_COMMA):
+      self.request(ViewerAction.PREV_ENV)
     elif key == _KEY_EQUAL:
-      self.speed_up()
+      self.request(ViewerAction.SPEED_UP)
     elif key == _KEY_MINUS:
-      self.slow_down()
-    elif key == _KEY_R:
+      self.request(ViewerAction.SPEED_DOWN)
+    elif key in (_KEY_P, _KEY_R, _KEY_C, _KEY_F):
+      self.request(ViewerAction.CUSTOM, key)
+
+  def _handle_custom_action(self, action, payload) -> bool:
+    if payload == _KEY_P:
       self._show_plots = not self._show_plots
+    elif payload == _KEY_R:
+      self._show_debug_vis = not self._show_debug_vis
+    elif payload == _KEY_C:
+      self._show_contact_points = not self._show_contact_points
+    elif payload == _KEY_F:
+      self._show_contact_forces = not self._show_contact_forces
+    else:
+      return False
+    return True
 
   def is_running(self) -> bool:
     return self._viewer is not None and self._viewer.is_running()
+
+  def sync_viewer_to_env(self) -> None:
+    """Broadcast viewer perturbation forces into the batched device state
+    (reference native.py:197-205: the passive viewer writes ctrl-drag
+    forces into the attached MjData's xfrc_applied on sync)."""
+    if not self.enable_perturbations:
+      return
+    xfrc = np.asarray(self.mj_data.xfrc_applied)
+    if not xfrc.any():
+      return
+    import jax.numpy as jnp
+
+    data = self.env.state.data
+    self.env.state = self.env.state.replace(
+      data=data.replace(
+        xfrc_applied=jnp.broadcast_to(
+          jnp.asarray(xfrc, dtype=data.xfrc_applied.dtype)[None],
+          data.xfrc_applied.shape,
+        )
+      )
+    )
 
   def sync_env_to_viewer(self) -> None:
     data = self.env.state.data
@@ -156,13 +219,37 @@ class NativeMujocoViewer(BaseViewer):
       ]
       self._viewer.cam.lookat[:] = self.mj_data.xpos[body_id]
 
-    # Debug overlays from command terms.
+    # Debug overlays from command terms (R toggles).
     scn = self._viewer.user_scn
     scn.ngeom = 0
-    viz = MjvDebugVisualizer(scn, self.env_idx)
-    cm = getattr(self.env, "command_manager", None)
-    if cm is not None and hasattr(cm, "debug_vis_callback"):
-      cm.debug_vis_callback(viz)
+    if self._show_debug_vis:
+      viz = MjvDebugVisualizer(scn, self.env_idx, mj_model=self.mj_model)
+      cm = getattr(self.env, "command_manager", None)
+      if cm is not None and hasattr(cm, "debug_vis_callback"):
+        cm.debug_vis_callback(viz)
+
+    # Contact point / force markers (Shift+C / Shift+F).
+    if self._show_contact_points or self._show_contact_forces:
+      self._draw_contacts(scn, data)
+
+    # Ghost render of other envs (reference native.py:178-192).
+    if self._vd is not None and self.env.num_envs > 1:
+      import itertools
+
+      others = [i for i in range(self.env.num_envs) if i != self.env_idx]
+      for i in itertools.islice(others, _MAX_GHOST_ENVS):
+        self._vd.qpos[:] = np.asarray(data.qpos[i])
+        self._vd.qvel[:] = np.asarray(data.qvel[i])
+        self._mj.mj_forward(self.mj_model, self._vd)
+        self._mj.mjv_addGeoms(
+          self.mj_model, self._vd, self._mj.MjvOption(), self._mj.MjvPerturb(),
+          self._mj.mjtCatBit.mjCAT_DYNAMIC.value, scn,
+        )
+
+    # Periodic timing telemetry (reference base.py FPS/timing accounting).
+    if self._verbose and time.perf_counter() - self._last_status > 5.0:
+      self._last_status = time.perf_counter()
+      print(f"[viewer] {self.timing.status_line()}", flush=True)
 
     # Live reward plots (set_figures availability depends on mujoco version).
     if self._reward_figs is not None and hasattr(self._viewer, "set_figures"):
@@ -181,6 +268,49 @@ class NativeMujocoViewer(BaseViewer):
       else:
         self._viewer.set_figures([])
     self._viewer.sync()
+
+  def _draw_contacts(self, scn, data) -> None:
+    """Contact discs + force arrows for the selected env, from the engine's
+    batched contact state (markers via viewer/contact_vis.py)."""
+    mj = self._mj
+    c = data.contact
+    forces = self.env.contact_forces()[self.env_idx]
+    vis = compute_contact_visuals(
+      np.asarray(c.dist[self.env_idx]),
+      np.asarray(c.includemargin[self.env_idx]),
+      np.asarray(c.pos[self.env_idx]),
+      np.asarray(c.frame[self.env_idx]),
+      np.asarray(forces),
+      meansize=float(self.mj_model.stat.meansize),
+      meanmass=float(self.mj_model.stat.meanmass),
+      contactwidth=float(self.mj_model.vis.scale.contactwidth),
+      contactheight=float(self.mj_model.vis.scale.contactheight),
+      forcewidth=float(self.mj_model.vis.scale.forcewidth),
+      force_map=float(self.mj_model.vis.map.force),
+    )
+    if self._show_contact_points:
+      for k in range(vis.count):
+        if scn.ngeom >= scn.maxgeom:
+          return
+        g = scn.geoms[scn.ngeom]
+        mj.mjv_initGeom(
+          g, mj.mjtGeom.mjGEOM_CYLINDER, vis.point_size[k],
+          vis.point_pos[k], vis.point_mat[k].reshape(9),
+          np.array([0.9, 0.6, 0.2, 0.8], dtype=np.float32),
+        )
+        scn.ngeom += 1
+    if self._show_contact_forces:
+      for k in range(len(vis.force_pos)):
+        if scn.ngeom >= scn.maxgeom:
+          return
+        g = scn.geoms[scn.ngeom]
+        mj.mjv_initGeom(
+          g, mj.mjtGeom.mjGEOM_ARROW,
+          np.array([vis.force_width, vis.force_width, vis.force_len[k]]),
+          vis.force_pos[k], vis.force_mat[k].reshape(9),
+          np.array([1.0, 0.0, 0.0, 0.8], dtype=np.float32),
+        )
+        scn.ngeom += 1
 
   def close(self) -> None:
     if self._viewer is not None:

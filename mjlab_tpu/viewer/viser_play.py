@@ -47,6 +47,7 @@ class ViserViewer(BaseViewer):
 
     self._scene = ViserMjScene(self._server, m)
     self._scene.add_geom_group_gui()
+    self._scene.add_options_gui(self.env.num_envs)
     self._build_controls()
 
     reward_terms = list(getattr(self.env.reward_manager, "active_terms", []))
@@ -73,14 +74,58 @@ class ViserViewer(BaseViewer):
   def sync_env_to_viewer(self) -> None:
     import mujoco
 
+    # Env-index slider lives in the scene GUI; adopt it for state sync.
+    self.env_idx = self._scene.env_idx = int(self._scene.env_idx)
+
     self._mj_data.qpos[:] = self.get_env_qpos()
     mujoco.mj_forward(self._mj_model, self._mj_data)
+
+    # Debug overlays (command-term arrows/frames/ghosts) queue into the
+    # scene and flush with the pose update below.
+    if self._scene.debug_visualization_enabled:
+      cm = getattr(self.env, "command_manager", None)
+      if cm is not None and hasattr(cm, "debug_vis_callback"):
+        cm.debug_vis_callback(self._scene)
+
     self._scene.update(
       np.asarray(self._mj_data.geom_xpos), np.asarray(self._mj_data.geom_xmat)
     )
+
+    # Contact markers from the engine's batched contact state.
+    if self._scene.show_contact_points or self._scene.show_contact_forces:
+      from mjlab_tpu.viewer.contact_vis import compute_contact_visuals
+
+      c = self.env.state.data.contact
+      m = self._mj_model
+      self._scene.update_contacts(
+        compute_contact_visuals(
+          np.asarray(c.dist[self.env_idx]),
+          np.asarray(c.includemargin[self.env_idx]),
+          np.asarray(c.pos[self.env_idx]),
+          np.asarray(c.frame[self.env_idx]),
+          np.asarray(self.env.contact_forces()[self.env_idx]),
+          meansize=float(m.stat.meansize),
+          meanmass=float(m.stat.meanmass),
+          contactwidth=float(m.vis.scale.contactwidth),
+          contactheight=float(m.vis.scale.contactheight),
+          forcewidth=float(m.vis.scale.forcewidth),
+          force_map=float(m.vis.map.force),
+        )
+      )
+
+    # Camera tracking of the configured body for connected clients.
+    if self._scene.camera_tracking_enabled and self.cfg.body_name:
+      entity = self.env.scene[self.cfg.asset_name]
+      body_id = entity.indexing.body_ids[
+        entity.body_names.index(self.cfg.body_name)
+      ]
+      self._scene.track_camera(np.asarray(self._mj_data.xpos[body_id]))
+
     if self._plotter is not None:
       values = {
-        k.split("/", 1)[1]: float(v)
+        k.split("/", 1)[1]: (
+          float(np.asarray(v)[self.env_idx]) if np.ndim(v) else float(v)
+        )
         for k, v in self.env.step_log.items()
         if k.startswith("Episode_Reward/")
       }
