@@ -422,6 +422,14 @@ def put_model(
   else:
     raise NotImplementedError(f"Integrator {m.opt.integrator} not supported.")
   cone = int(m.opt.cone)
+  solver = int(m.opt.solver)
+  if solver == int(mujoco.mjtSolver.mjSOL_PGS):
+    # PGS is a sequential dual sweep — hostile to lockstep batched TPU
+    # execution; the reference exposes it via mjwarp (sim/sim.py:21-38) but
+    # every shipped task uses Newton. CG is the supported fallback.
+    raise NotImplementedError(
+      "PGS solver is not supported; use solver='newton' or 'cg'."
+    )
 
   pairs_list, groups_list = _candidate_pairs(m)
   pairs = tuple(pairs_list)
@@ -562,6 +570,7 @@ def put_model(
     ls_tolerance=arr(m.opt.ls_tolerance),
     integrator=integrator,
     cone=cone,
+    solver=solver,
     iterations=int(m.opt.iterations),
     ls_iterations=int(m.opt.ls_iterations),
   )

@@ -256,7 +256,69 @@ def solve(tp: Topology, m: Model, d: Data) -> Data:
     x_new = x + alpha * p
     return jnp.where(total_cost(x_new) < total_cost(x), x_new, x)
 
-  x = jax.lax.fori_loop(0, m.opt.iterations, newton_iter, x)
+  def linesearch(x, r, p):
+    """Exact 1-D Newton linesearch along p from x (shared Newton/CG)."""
+    jv = J @ p
+    mp = d.qM @ p
+    p_m_dx = p @ (d.qM @ (x - a0))
+    p_m_p = p @ mp
+
+    def ls_iter(_, alpha):
+      ra = r + alpha * jv
+      dphi = p_m_dx + alpha * p_m_p - jnp.sum(row_force(ra) * jv)
+      ddphi = p_m_p + jnp.sum(row_hess(ra) * jv * jv)
+      for g in cone_groups:
+        B = cone_hess_group(g, ra[g["rows"]])
+        jvc = jv[g["rows"]]  # (Sg, cd)
+        ddphi = ddphi + jnp.einsum("si,sij,sj->", jvc, B, jvc)
+      return alpha - dphi / jnp.maximum(ddphi, 1e-30)
+
+    return jax.lax.fori_loop(
+      0, m.opt.ls_iterations, ls_iter, jnp.asarray(1.0, dtype=dtype)
+    )
+
+  def cg_solve(x0):
+    """Nonlinear CG (Polak-Ribière+, M-preconditioned) on the same cost —
+    MuJoCo's mjSOL_CG (reference exposes it via sim/sim.py:21-38). No
+    per-iteration Hessian/Cholesky: the search direction comes from
+    gradients preconditioned by the (constant) mass matrix."""
+    Lm = jnp.linalg.cholesky(d.qM + 1e-12 * eye)
+
+    def msolve(v):
+      y = jax.scipy.linalg.solve_triangular(Lm, v, lower=True)
+      return jax.scipy.linalg.solve_triangular(Lm.T, y, lower=False)
+
+    def grad_at(x):
+      return d.qM @ (x - a0) - J.T @ row_force(residual(x))
+
+    g0 = grad_at(x0)
+    mg0 = msolve(g0)
+
+    def cg_iter(_, carry):
+      x, g_prev, mg_prev, p = carry
+      r = residual(x)
+      alpha = linesearch(x, r, p)
+      x_new = x + alpha * p
+      # Reject non-improving steps and restart along steepest descent.
+      improve = total_cost(x_new) < total_cost(x)
+      x_new = jnp.where(improve, x_new, x)
+      g = grad_at(x_new)
+      mg = msolve(g)
+      beta = jnp.maximum(
+        (g @ (mg - mg_prev)) / jnp.maximum(g_prev @ mg_prev, _EPS), 0.0
+      )
+      p_new = -mg + jnp.where(improve, beta, 0.0) * p
+      return x_new, g, mg, p_new
+
+    out = jax.lax.fori_loop(
+      0, m.opt.iterations, cg_iter, (x0, g0, mg0, -mg0)
+    )
+    return out[0]
+
+  if m.opt.solver == 1:  # mjSOL_CG
+    x = cg_solve(x)
+  else:
+    x = jax.lax.fori_loop(0, m.opt.iterations, newton_iter, x)
 
   r = residual(x)
   efc_force = row_force(r)

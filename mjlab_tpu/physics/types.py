@@ -210,6 +210,8 @@ class Option:
   # Static (affect compiled program structure):
   integrator: int = struct.field(pytree_node=False, default=Integrator.EULER)
   cone: int = struct.field(pytree_node=False, default=ConeType.PYRAMIDAL)
+  # mjtSolver: 1 = CG (Polak-Ribière, M-preconditioned), 2 = Newton.
+  solver: int = struct.field(pytree_node=False, default=2)
   iterations: int = struct.field(pytree_node=False, default=10)
   ls_iterations: int = struct.field(pytree_node=False, default=20)
   ls_parallel: bool = struct.field(pytree_node=False, default=False)

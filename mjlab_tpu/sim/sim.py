@@ -46,8 +46,10 @@ class MujocoCfg:
   integrator: Literal["euler", "implicitfast"] = "implicitfast"
   impratio: float = 1.0
   cone: Literal["pyramidal", "elliptic"] = "pyramidal"
-  # `jacobian`/`solver` kept for config-surface parity; this engine always
-  # uses dense Jacobians and the Newton solver (reference defaults).
+  # `jacobian` kept for config-surface parity; this engine always uses
+  # dense Jacobians. Solver: newton (default) or cg (M-preconditioned
+  # Polak-Ribière); pgs is rejected at model conversion (sequential dual
+  # sweeps are hostile to lockstep batched execution).
   jacobian: Literal["auto", "dense", "sparse"] = "auto"
   solver: Literal["newton", "cg", "pgs"] = "newton"
   iterations: int = 100
@@ -59,6 +61,11 @@ class MujocoCfg:
   def apply(self, model: mujoco.MjModel) -> None:
     model.opt.cone = _CONE_MAP[self.cone]
     model.opt.integrator = _INTEGRATOR_MAP[self.integrator]
+    model.opt.solver = {
+      "pgs": mujoco.mjtSolver.mjSOL_PGS,
+      "cg": mujoco.mjtSolver.mjSOL_CG,
+      "newton": mujoco.mjtSolver.mjSOL_NEWTON,
+    }[self.solver]
     model.opt.timestep = self.timestep
     model.opt.impratio = self.impratio
     model.opt.gravity[:] = self.gravity

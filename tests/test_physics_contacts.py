@@ -107,3 +107,45 @@ def test_contact_trajectory_parity(name):
 
   np.testing.assert_allclose(np.asarray(d.qpos), mjd.qpos, atol=tol)
   np.testing.assert_allclose(np.asarray(d.qvel), mjd.qvel, atol=tol * 10)
+
+
+def test_cg_solver_trajectory_parity():
+  """solver="CG": the M-preconditioned Polak-Ribière path converges to the
+  same trajectory as CPU MuJoCo's CG on a settling box (reference exposes
+  the solver choice via sim/sim.py:21-38)."""
+  xml = """
+<mujoco><option timestep="0.002" solver="CG" iterations="50" ls_iterations="25"/>
+  <worldbody>
+    <geom name="floor" type="plane" size="10 10 0.1"/>
+    <body pos="0 0 0.1" euler="2 1 0"><freejoint/>
+      <geom type="box" size="0.1 0.08 0.06"/></body>
+  </worldbody></mujoco>"""
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  assert mjm.opt.solver == mujoco.mjtSolver.mjSOL_CG
+  mjd = mujoco.MjData(mjm)
+  mjd.qvel[:6] = [0.1, 0, -0.4, 0.2, 0.3, -0.1]
+
+  tp, model = physics.put_model(mjm, dtype=jnp.float64)
+  assert model.opt.solver == 1
+  step = jax.jit(functools.partial(physics.step, tp))
+  d = physics.make_data(tp, model)
+  d = d.replace(qpos=jnp.asarray(mjd.qpos.copy()), qvel=jnp.asarray(mjd.qvel.copy()))
+  for _ in range(150):
+    mujoco.mj_step(mjm, mjd)
+    d = step(model, d)
+  # First-order methods accumulate solver-path differences; both must land
+  # on the same settled pose.
+  np.testing.assert_allclose(np.asarray(d.qpos), mjd.qpos, atol=2e-3)
+  assert float(jnp.linalg.norm(d.qvel)) < 0.05
+
+
+def test_pgs_solver_rejected():
+  xml = """
+<mujoco><option solver="PGS"/>
+  <worldbody>
+    <geom type="plane" size="1 1 0.1"/>
+    <body pos="0 0 0.2"><freejoint/><geom type="sphere" size="0.1"/></body>
+  </worldbody></mujoco>"""
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  with pytest.raises(NotImplementedError, match="PGS"):
+    physics.put_model(mjm, dtype=jnp.float64)
