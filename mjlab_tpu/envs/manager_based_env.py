@@ -168,7 +168,17 @@ class ManagerBasedEnv:
 
   def contact_forces(self) -> jax.Array:
     """(B, C, 6) contact-frame wrenches (force + torque) for all slots."""
+    self.ensure_derived()
     return self._contact_forces_fn(self.model, self._data)
+
+  def ensure_derived(self) -> None:
+    """Populate derived Data leaves (FK poses, contacts, efc) for host-side
+    readers — viewers, debug visualizers, entity kinematics — which run
+    OUTSIDE the jitted step where the threaded state is slim (derived
+    leaves None). One jitted forward; no-op when already full."""
+    if self._data.xpos is not None:
+      return
+    self._data = self._forward_physics(self.model, self._data)
 
   # -- managers ----------------------------------------------------------------
 

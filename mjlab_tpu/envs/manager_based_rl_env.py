@@ -219,7 +219,18 @@ class ManagerBasedRlEnv(ManagerBasedEnv, gym.Env):
     return obs, self.extras
 
   def render(self):
-    return None
+    """rgb_array frame of env 0 via the offscreen renderer (reference
+    manager_based_rl_env.py:154-169; requires a GL backend, e.g.
+    MUJOCO_GL=egl headless). Returns None for render_mode=None."""
+    if self.render_mode != "rgb_array":
+      return None
+    if not hasattr(self, "_offscreen_renderer"):
+      from mjlab_tpu.viewer.offscreen_renderer import OffscreenRenderer
+
+      self._offscreen_renderer = OffscreenRenderer(self)
+    return self._offscreen_renderer.render(env_idx=0)
 
   def close(self) -> None:
-    pass
+    if hasattr(self, "_offscreen_renderer"):
+      self._offscreen_renderer.close()
+      del self._offscreen_renderer

@@ -223,6 +223,8 @@ class NativeMujocoViewer(BaseViewer):
     scn = self._viewer.user_scn
     scn.ngeom = 0
     if self._show_debug_vis:
+      if hasattr(self.env, "ensure_derived"):
+        self.env.ensure_derived()
       viz = MjvDebugVisualizer(scn, self.env_idx, mj_model=self.mj_model)
       cm = getattr(self.env, "command_manager", None)
       if cm is not None and hasattr(cm, "debug_vis_callback"):

@@ -83,6 +83,8 @@ class ViserViewer(BaseViewer):
     # Debug overlays (command-term arrows/frames/ghosts) queue into the
     # scene and flush with the pose update below.
     if self._scene.debug_visualization_enabled:
+      if hasattr(self.env, "ensure_derived"):
+        self.env.ensure_derived()
       cm = getattr(self.env, "command_manager", None)
       if cm is not None and hasattr(cm, "debug_vis_callback"):
         cm.debug_vis_callback(self._scene)

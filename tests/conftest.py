@@ -14,6 +14,9 @@ backend is first used.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Headless rendering: mujoco binds its GL backend at first context creation
+# and the env var must be set before that — EGL works in this image.
+os.environ.setdefault("MUJOCO_GL", "egl")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
   os.environ["XLA_FLAGS"] = (
