@@ -517,6 +517,8 @@ def put_model(
     geom_dataid=m.geom_dataid.copy(),
     geom_hulls=geom_hulls,
     site_bodyid=m.site_bodyid.copy(),
+    site_type=m.site_type.copy(),
+    site_size=m.site_size.copy(),
     actuator_trntype=m.actuator_trntype.copy(),
     actuator_trnid=m.actuator_trnid.copy(),
     trn_qmat=trn_qmat,

@@ -1,9 +1,13 @@
 """Builtin sensor evaluation — pure functions of (Topology, Model, Data).
 
-Covers the sensor set the reference robots/tasks use (gyro, velocimeter,
-accelerometer, subtreeangmom; reference asset XMLs) plus the common frame/
-joint/subtree sensors wrapped by the reference's BuiltinSensor
-(sensor/builtin_sensor.py:15-101). Unsupported types raise at trace time.
+Covers the full sensor catalog wrapped by the reference's BuiltinSensor
+(sensor/builtin_sensor.py:15-101): IMU (gyro/velocimeter/accelerometer/
+magnetometer), frame pos/quat/axes/vel/acc, joint/tendon/actuator state,
+joint-limit rows, subtree com/momentum, energies, clock, plus the
+interaction sensors — force/torque (cfrc_int backward pass over the
+post-constraint accelerations), touch (contact normal forces inside the
+site zone), rangefinder (analytic raycasts), tendonactuatorfrc.
+Unsupported types raise at trace time.
 """
 
 from __future__ import annotations
@@ -25,7 +29,7 @@ _POS_STAGE = {
   _S.mjSENS_FRAMEYAXIS, _S.mjSENS_FRAMEZAXIS, _S.mjSENS_JOINTPOS,
   _S.mjSENS_SUBTREECOM, _S.mjSENS_ACTUATORPOS, _S.mjSENS_MAGNETOMETER,
   _S.mjSENS_CLOCK, _S.mjSENS_TENDONPOS, _S.mjSENS_JOINTLIMITPOS,
-  _S.mjSENS_E_POTENTIAL,
+  _S.mjSENS_E_POTENTIAL, _S.mjSENS_RANGEFINDER,
 }
 _VEL_STAGE = {
   _S.mjSENS_GYRO, _S.mjSENS_VELOCIMETER, _S.mjSENS_FRAMELINVEL,
@@ -36,6 +40,8 @@ _VEL_STAGE = {
 _ACC_STAGE = {
   _S.mjSENS_ACCELEROMETER, _S.mjSENS_ACTUATORFRC, _S.mjSENS_FRAMELINACC,
   _S.mjSENS_FRAMEANGACC, _S.mjSENS_JOINTLIMITFRC, _S.mjSENS_JOINTACTFRC,
+  _S.mjSENS_FORCE, _S.mjSENS_TORQUE, _S.mjSENS_TOUCH,
+  _S.mjSENS_TENDONACTFRC,
 }
 
 
@@ -110,6 +116,163 @@ def _rne_postconstraint_cacc(tp: Topology, m: Model, d: Data) -> jax.Array:
   return jnp.stack(cacc)
 
 
+def _world_contact_wrench(tp: Topology, m: Model, d: Data):
+  """Per-slot world-frame contact (force, torque) acting on body2 at the
+  contact point, masked to active slots. Returns (f_w, t_w): (C, 3) each."""
+  from mjlab_tpu.physics import constraint as _ct
+
+  cf = _ct.contact_forces(tp, m, d)  # (C, 6) contact-frame [f_n f_t1 f_t2 | torques]
+  # contact.frame rows are the axes in world coords: world = Σ_k local_k · frame[k].
+  f_w = jnp.einsum("ck,cki->ci", cf[:, :3], d.contact.frame)
+  t_w = jnp.einsum("ck,cki->ci", cf[:, 3:], d.contact.frame)
+  active = (d.contact.dist < d.contact.includemargin).astype(f_w.dtype)
+  return f_w * active[:, None], t_w * active[:, None]
+
+
+def _cfrc_int(tp: Topology, m: Model, d: Data, cacc: jax.Array) -> jax.Array:
+  """(nbody, 6) interaction wrench [torque, force] each body exerts through
+  its parent joint, about the body's com-based frame origin
+  (subtree_com[rootid], world axes) — mj_rnePostConstraint's cfrc_int,
+  consumed by force/torque sensors (mujoco mj_sensorAcc)."""
+  from mjlab_tpu.physics import constraint as _ct
+
+  dtype = d.qpos.dtype
+  roots = d.subtree_com[tp.body_rootid]  # (nbody, 3)
+
+  # External wrenches per body: applied forces + contacts (cfrc_ext).
+  f_app = d.xfrc_applied[:, :3]
+  t_app = d.xfrc_applied[:, 3:]
+  cfrc_ext = jnp.concatenate(
+    [t_app + jnp.cross(d.xipos - roots, f_app), f_app], axis=-1
+  )
+  st = _ct.slot_tables(tp, m.opt.cone)
+  if len(st.condim):
+    f_w, t_w = _world_contact_wrench(tp, m, d)
+    pos = d.contact.pos
+    # The decoded wrench acts on body2 along +normal; body1 gets the negation.
+    for sign, bodies in ((1.0, st.b2), (-1.0, st.b1)):
+      t_at = t_w + jnp.cross(pos - roots[bodies], f_w)
+      cfrc_ext = cfrc_ext.at[bodies].add(
+        sign * jnp.concatenate([t_at, f_w], axis=-1)
+      )
+
+  # Body momentum-rate bias, then subtree accumulation (all bodies of a
+  # subtree share the same com-frame origin, so the sum is consistent).
+  Iv = smooth.inert_mul(d.cinert, d.cvel)
+  cfrc_com = smooth.inert_mul(d.cinert, cacc) + smooth.cross_force(d.cvel, Iv)
+  own = cfrc_com - cfrc_ext
+  sub = jnp.asarray(tp.body_subtree_mask, dtype=dtype)
+  return sub @ own
+
+
+def _inside_site(tp: Topology, site_id: int, local: jax.Array) -> jax.Array:
+  """Whether points `local` (S, 3) in the site frame lie inside the site
+  volume (touch-sensor zone; mujoco mju_insideGeom for the site types)."""
+  g = mujoco.mjtGeom
+  stype = int(tp.site_type[site_id])
+  size = tp.site_size[site_id]
+  x, y, z = local[:, 0], local[:, 1], local[:, 2]
+  if stype == g.mjGEOM_SPHERE:
+    return jnp.sum(local * local, -1) <= size[0] ** 2
+  if stype == g.mjGEOM_ELLIPSOID:
+    s = local / np.maximum(size, 1e-12)
+    return jnp.sum(s * s, -1) <= 1.0
+  if stype == g.mjGEOM_CAPSULE:
+    zc = jnp.clip(z, -size[1], size[1])
+    return x * x + y * y + (z - zc) ** 2 <= size[0] ** 2
+  if stype == g.mjGEOM_CYLINDER:
+    return (x * x + y * y <= size[0] ** 2) & (jnp.abs(z) <= size[1])
+  if stype == g.mjGEOM_BOX:
+    return jnp.all(jnp.abs(local) <= size[None, :], axis=-1)
+  raise NotImplementedError(f"touch-sensor site type {stype}")
+
+
+_RAY_MISS = 1e10
+
+
+def _ray_quadratic(a, b, c):
+  """Smallest non-negative root of a t² + 2b t + c = 0, else miss."""
+  det = b * b - a * c
+  ok = det >= 0
+  sq = jnp.sqrt(jnp.maximum(det, 0.0))
+  t0 = (-b - sq) / a
+  t1 = (-b + sq) / a
+  t = jnp.where(t0 >= 0, t0, jnp.where(t1 >= 0, t1, _RAY_MISS))
+  return jnp.where(ok, t, _RAY_MISS)
+
+
+def _ray_geom(gtype: int, size: np.ndarray, gpos, gmat, o, v) -> jax.Array:
+  """Ray (o, v) vs one geom → distance along v, _RAY_MISS when no hit.
+
+  Analytic primitives only (plane/sphere/capsule/ellipsoid/cylinder/box);
+  hfield and mesh geoms are skipped by the caller (mujoco's mj_ray BVH
+  path; not needed by any shipped robot — rangefinders see primitives)."""
+  g = mujoco.mjtGeom
+  lo = gmat.T @ (o - gpos)
+  lv = gmat.T @ v
+  if gtype == g.mjGEOM_PLANE:
+    denom = lv[2]
+    t = jnp.where(jnp.abs(denom) > 1e-12, -lo[2] / denom, _RAY_MISS)
+    x = lo + t * lv
+    ok = (t >= 0) & (denom < 0)
+    if size[0] > 0:
+      ok = ok & (jnp.abs(x[0]) <= size[0])
+    if size[1] > 0:
+      ok = ok & (jnp.abs(x[1]) <= size[1])
+    return jnp.where(ok, t, _RAY_MISS)
+  if gtype == g.mjGEOM_SPHERE:
+    return _ray_quadratic(lv @ lv, lo @ lv, lo @ lo - size[0] ** 2)
+  if gtype == g.mjGEOM_ELLIPSOID:
+    s = 1.0 / np.maximum(size, 1e-12)
+    eo, ev = lo * s, lv * s
+    return _ray_quadratic(ev @ ev, eo @ ev, eo @ eo - 1.0)
+  if gtype == g.mjGEOM_CAPSULE:
+    r, h = float(size[0]), float(size[1])
+    # Infinite cylinder on xy, clipped to |z| <= h.
+    a = lv[0] ** 2 + lv[1] ** 2
+    b = lo[0] * lv[0] + lo[1] * lv[1]
+    c = lo[0] ** 2 + lo[1] ** 2 - r * r
+    t_cyl = _ray_quadratic(jnp.maximum(a, 1e-12), b, c)
+    z = lo[2] + t_cyl * lv[2]
+    t_cyl = jnp.where(jnp.abs(z) <= h, t_cyl, _RAY_MISS)
+    best = t_cyl
+    for zc in (-h, h):
+      co = lo - jnp.asarray([0.0, 0.0, zc], dtype=lo.dtype)
+      t_cap = _ray_quadratic(lv @ lv, co @ lv, co @ co - r * r)
+      zcap = lo[2] + t_cap * lv[2]
+      t_cap = jnp.where((zcap - zc) * np.sign(zc or 1.0) >= 0, t_cap, _RAY_MISS)
+      best = jnp.minimum(best, t_cap)
+    return best
+  if gtype == g.mjGEOM_CYLINDER:
+    r, h = float(size[0]), float(size[1])
+    a = lv[0] ** 2 + lv[1] ** 2
+    b = lo[0] * lv[0] + lo[1] * lv[1]
+    c = lo[0] ** 2 + lo[1] ** 2 - r * r
+    t_side = _ray_quadratic(jnp.maximum(a, 1e-12), b, c)
+    z = lo[2] + t_side * lv[2]
+    best = jnp.where(jnp.abs(z) <= h, t_side, _RAY_MISS)
+    for zc in (-h, h):
+      t_disc = jnp.where(
+        jnp.abs(lv[2]) > 1e-12, (zc - lo[2]) / lv[2], _RAY_MISS
+      )
+      x = lo[0] + t_disc * lv[0]
+      y = lo[1] + t_disc * lv[1]
+      ok = (t_disc >= 0) & (x * x + y * y <= r * r)
+      best = jnp.minimum(best, jnp.where(ok, t_disc, _RAY_MISS))
+    return best
+  if gtype == g.mjGEOM_BOX:
+    # Slab method.
+    safe = jnp.where(jnp.abs(lv) > 1e-12, lv, 1e-12)
+    t1 = (-size[:3] - lo) / safe
+    t2 = (size[:3] - lo) / safe
+    tmin = jnp.max(jnp.minimum(t1, t2))
+    tmax = jnp.min(jnp.maximum(t1, t2))
+    hit = (tmax >= jnp.maximum(tmin, 0.0))
+    t = jnp.where(tmin >= 0, tmin, tmax)
+    return jnp.where(hit & (t >= 0), t, _RAY_MISS)
+  return None  # unsupported (hfield/mesh): caller skips this geom
+
+
 def sensor_pos(tp: Topology, m: Model, d: Data) -> Data:
   return _eval_stage(tp, m, d, _POS_STAGE)
 
@@ -132,6 +295,7 @@ def _eval_stage(tp: Topology, m: Model, d: Data, stage: set) -> Data:
     return d
   sensordata = d.sensordata
   cacc = None
+  cfrc = None
   for s in range(tp.nsensor):
     stype = int(tp.sensor_type[s])
     if stype not in stage:
@@ -246,6 +410,65 @@ def _eval_stage(tp: Topology, m: Model, d: Data, stage: set) -> Data:
           + jnp.cross(cacc[body, :3], pos - origin)
           + jnp.cross(w, _point_vel(tp, d, body, pos))
         )
+    elif stype in (_S.mjSENS_FORCE, _S.mjSENS_TORQUE):
+      if cacc is None:
+        cacc = _rne_postconstraint_cacc(tp, m, d)
+      if cfrc is None:
+        cfrc = _cfrc_int(tp, m, d, cacc)
+      body = int(tp.site_bodyid[objid])
+      c = d.subtree_com[tp.body_rootid[body]]
+      pos, mat = d.site_xpos[objid], d.site_xmat[objid]
+      t, f = cfrc[body, :3], cfrc[body, 3:]
+      if stype == _S.mjSENS_FORCE:
+        val = mat.T @ f
+      else:
+        val = mat.T @ (t - jnp.cross(pos - c, f))
+    elif stype == _S.mjSENS_TOUCH:
+      from mjlab_tpu.physics import constraint as _ct
+
+      st = _ct.slot_tables(tp, m.opt.cone)
+      body = int(tp.site_bodyid[objid])
+      own = ((st.b1 == body) | (st.b2 == body)).astype(np.float64)
+      if len(st.condim) == 0 or not own.any():
+        val = jnp.zeros(1, dtype=d.qpos.dtype)
+      else:
+        cf = _ct.contact_forces(tp, m, d)
+        active = (d.contact.dist < d.contact.includemargin)
+        fn = jnp.maximum(cf[:, 0], 0.0) * active
+        local = jnp.einsum(
+          "ji,cj->ci", d.site_xmat[objid],
+          d.contact.pos - d.site_xpos[objid],
+        )
+        inside = _inside_site(tp, objid, local)
+        val = jnp.sum(
+          fn * inside * jnp.asarray(own, dtype=d.qpos.dtype)
+        ).reshape(1)
+    elif stype == _S.mjSENS_RANGEFINDER:
+      pos, mat, body = _obj_frame(tp, d, objtype, objid)
+      v = mat[:, 2]
+      best = jnp.asarray(_RAY_MISS, dtype=d.qpos.dtype)
+      for gid in range(tp.ngeom):
+        if int(tp.geom_bodyid[gid]) == body:
+          continue  # mj_ray bodyexclude = sensor site's body
+        t = _ray_geom(
+          int(tp.geom_type[gid]), np.asarray(m.geom_size[gid]),
+          d.geom_xpos[gid], d.geom_xmat[gid], pos, v,
+        )
+        if t is None:
+          continue  # hfield/mesh geom: no analytic ray support
+        best = jnp.minimum(best, t)
+      val = jnp.where(best >= _RAY_MISS, -1.0, best).reshape(1)
+    elif stype == _S.mjSENS_TENDONACTFRC:
+      us = np.nonzero(
+        (tp.actuator_trntype == int(mujoco.mjtTrn.mjTRN_TENDON))
+        & (tp.actuator_trnid[:, 0] == objid)
+      )[0]
+      if len(us) == 0:
+        val = jnp.zeros(1, dtype=d.qpos.dtype)
+      else:
+        # Raw scalar actuator force, NOT gear-scaled (mujoco semantics:
+        # gear only enters the transmission moment).
+        val = jnp.sum(d.actuator_force[us]).reshape(1)
     else:
       raise NotImplementedError(f"sensor type {stype}")
     sensordata = sensordata.at[adr : adr + dim].set(val.reshape(dim))

@@ -124,6 +124,8 @@ class Topology:
 
   # Sites.
   site_bodyid: np.ndarray
+  site_type: np.ndarray  # mjtGeom of the site zone (touch-sensor volumes)
+  site_size: np.ndarray  # (nsite, 3)
 
   # Actuators (joint/tendon transmissions).
   actuator_trntype: np.ndarray

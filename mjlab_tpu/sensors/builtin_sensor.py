@@ -48,6 +48,11 @@ _SENSOR_TYPES: dict[str, mujoco.mjtSensor] = {
   "frameangacc": mujoco.mjtSensor.mjSENS_FRAMEANGACC,
   "e_potential": mujoco.mjtSensor.mjSENS_E_POTENTIAL,
   "e_kinetic": mujoco.mjtSensor.mjSENS_E_KINETIC,
+  "force": mujoco.mjtSensor.mjSENS_FORCE,
+  "torque": mujoco.mjtSensor.mjSENS_TORQUE,
+  "touch": mujoco.mjtSensor.mjSENS_TOUCH,
+  "rangefinder": mujoco.mjtSensor.mjSENS_RANGEFINDER,
+  "tendonactuatorfrc": mujoco.mjtSensor.mjSENS_TENDONACTFRC,
 }
 
 _OBJ_TYPES: dict[str, mujoco.mjtObj] = {
@@ -89,6 +94,11 @@ _REQUIRED_OBJ: dict[str, tuple[str, ...]] = {
   "jointactuatorfrc": ("joint",),
   "framelinacc": ("site", "body", "xbody", "geom"),
   "frameangacc": ("site", "body", "xbody", "geom"),
+  "force": ("site",),
+  "torque": ("site",),
+  "touch": ("site",),
+  "rangefinder": ("site",),
+  "tendonactuatorfrc": ("tendon",),
 }
 
 
@@ -145,11 +155,15 @@ class BuiltinSensor(Sensor):
       raise ValueError(
         f"Sensor '{cfg.name}' ({cfg.sensor_type}) requires obj of type {allowed}"
       )
+    kwargs = {}
+    if cfg.sensor_type == "rangefinder":
+      kwargs["intprm"] = [1, 0, 0]  # nray=1 (required positive by the spec)
     sensor = spec.add_sensor(
       name=cfg.name,
       type=_SENSOR_TYPES[cfg.sensor_type],
       objtype=_OBJ_TYPES[cfg.obj.type],
       objname=cfg.obj.resolved_name(),
+      **kwargs,
     )
     if cfg.ref is not None:
       sensor.reftype = _OBJ_TYPES[cfg.ref.type]
