@@ -70,6 +70,16 @@ class RlOnPolicyRunnerCfg:
   # None (default): auto — False on the tunneled 'axon' relay, True on
   # every real backend.
   fused_rollout: bool | None = None
+  # Host-loop dispatch batching (only used when the host-loop mode is
+  # active). rollout_chunk=k unrolls k env steps into ONE jitted program
+  # (Python unroll, NOT lax.scan — the relay's scan slow path does not
+  # apply), cutting per-call dispatch overhead ~k×; T % k leftover steps
+  # run singly. epoch_chunk=True runs each PPO epoch (on-device
+  # permutation + every minibatch SGD step) as one jitted call instead of
+  # num_mini_batches calls. Both are math-identical to the unchunked path
+  # (pinned by tests/test_runner_modes.py).
+  rollout_chunk: int = 1
+  epoch_chunk: bool = False
 
 
 # Reference-parity aliases (reference rl/config.py names).

@@ -101,6 +101,10 @@ class OnPolicyRunner:
 
       self._rollout_step_jit = jax.jit(self._rollout_step)
       self._rollout_accum_jit = jax.jit(self._rollout_step_accum)
+      if cfg.rollout_chunk > 1:
+        self._rollout_chunk_jit = jax.jit(self._rollout_chunk)
+      if cfg.epoch_chunk:
+        self._epoch_step_jit = jax.jit(self._epoch_step)
       self._prep_update_jit = jax.jit(self._prep_update)
       self._mb_core = make_minibatch_step(
         cfg.algorithm, self._policy_apply, self.optimizer
@@ -178,6 +182,33 @@ class OnPolicyRunner:
     )
     return carry, batch, extras
 
+  def _rollout_chunk(self, carry, keys_k, batch, extras, t0):
+    """cfg.rollout_chunk accum steps unrolled into ONE program — fewer
+    relay dispatches than per-step calls, with no lax.scan (whose relay
+    slow path the host-loop mode exists to avoid; docs/PERF_NOTES.md)."""
+    for i in range(self.cfg.rollout_chunk):
+      carry, batch, extras = self._rollout_step_accum(
+        carry, keys_k[i], batch, extras, t0 + jnp.uint32(i)
+      )
+    return carry, batch, extras
+
+  def _epoch_step(self, params, opt_state, lr, flat, adv_flat, ret_flat,
+                  msum, key):
+    """One full PPO epoch — on-device permutation + every minibatch SGD
+    step — as ONE program (vs num_mini_batches+1 dispatches)."""
+    alg = self.cfg.algorithm
+    n = adv_flat.shape[0]
+    mb_size = n // alg.num_mini_batches
+    perm = jax.random.permutation(key, n)
+    idxs = perm[: mb_size * alg.num_mini_batches].reshape(
+      alg.num_mini_batches, mb_size
+    )
+    for k in range(alg.num_mini_batches):
+      params, opt_state, lr, msum = self._mb_step_sum(
+        params, opt_state, lr, flat, adv_flat, ret_flat, idxs[k], msum
+      )
+    return params, opt_state, lr, msum
+
   def _train_iteration_hostloop(self, state: RunnerState):
     """Host-loop rollout: per-step jitted calls + one jitted update. Same
     math as the fused path (shared _rollout_step/_post_rollout); only the
@@ -205,10 +236,18 @@ class OnPolicyRunner:
         jax.tree_util.tree_map(alloc, extra_shape),
       )
     batch, extras = self._rollout_buffers
-    for t in range(T):
+    k = max(1, cfg.rollout_chunk)
+    t = 0
+    while t + k <= T and k > 1:
+      carry, batch, extras = self._rollout_chunk_jit(
+        carry, keys[t : t + k], batch, extras, jnp.uint32(t)
+      )
+      t += k
+    while t < T:
       carry, batch, extras = self._rollout_accum_jit(
         carry, keys[t], batch, extras, jnp.uint32(t)
       )
+      t += 1
 
     # PPO update as a host loop of per-minibatch jitted steps (the fused
     # ppo_update's epoch/minibatch scans hit the same relay slow path as
@@ -229,17 +268,25 @@ class OnPolicyRunner:
       for k in ("kl", "surrogate", "value_loss", "entropy", "loss", "lr")
     }
     count = 0
-    for _ in range(alg.num_learning_epochs):
-      train_rng, key = jax.random.split(train_rng)
-      perm = jax.random.permutation(key, n)
-      idxs = perm[: mb_size * alg.num_mini_batches].reshape(
-        alg.num_mini_batches, mb_size
-      )
-      for k in range(alg.num_mini_batches):
-        params, opt_state, lr, msum = self._mb_step_jit(
-          params, opt_state, lr, flat, adv_flat, ret_flat, idxs[k], msum
+    if cfg.epoch_chunk:
+      for _ in range(alg.num_learning_epochs):
+        train_rng, key = jax.random.split(train_rng)
+        params, opt_state, lr, msum = self._epoch_step_jit(
+          params, opt_state, lr, flat, adv_flat, ret_flat, msum, key
         )
-        count += 1
+        count += alg.num_mini_batches
+    else:
+      for _ in range(alg.num_learning_epochs):
+        train_rng, key = jax.random.split(train_rng)
+        perm = jax.random.permutation(key, n)
+        idxs = perm[: mb_size * alg.num_mini_batches].reshape(
+          alg.num_mini_batches, mb_size
+        )
+        for k in range(alg.num_mini_batches):
+          params, opt_state, lr, msum = self._mb_step_jit(
+            params, opt_state, lr, flat, adv_flat, ret_flat, idxs[k], msum
+          )
+          count += 1
     train = PpoTrainState(
       params=params, opt_state=opt_state, lr=lr, rng=train_rng
     )
