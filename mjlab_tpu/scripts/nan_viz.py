@@ -24,6 +24,13 @@ def main() -> None:
   env_id = int(overrides.get("env", "0"))
   fps = float(overrides.get("fps", "10"))
 
+  if not (dump_dir / "model.mjb").exists():
+    print(
+      "usage: nan_viz [dump_dir] [--env N] [--fps 10]\n"
+      f"no NaN-guard dump found at '{dump_dir}' — run training with "
+      "--enable_nan_guard to produce one (see utils/nan_guard.py)."
+    )
+    sys.exit(1)
   model = mujoco.MjModel.from_binary_path(str(dump_dir / "model.mjb"))
   states = np.load(dump_dir / f"env_{env_id}.npz")
   qpos = states["qpos"]
