@@ -423,12 +423,16 @@ def put_model(
     raise NotImplementedError(f"Integrator {m.opt.integrator} not supported.")
   cone = int(m.opt.cone)
   solver = int(m.opt.solver)
-  if solver == int(mujoco.mjtSolver.mjSOL_PGS):
-    # PGS is a sequential dual sweep — hostile to lockstep batched TPU
-    # execution; the reference exposes it via mjwarp (sim/sim.py:21-38) but
-    # every shipped task uses Newton. CG is the supported fallback.
+  if solver == int(mujoco.mjtSolver.mjSOL_PGS) and cone == int(
+    mujoco.mjtCone.mjCONE_ELLIPTIC
+  ):
+    # PGS is implemented for the pyramidal cone (exact per-row dual
+    # projections; solver.py pgs_solve). The elliptic dual needs per-cone
+    # QCQP block projections — use newton/cg there (what every shipped
+    # task uses).
     raise NotImplementedError(
-      "PGS solver is not supported; use solver='newton' or 'cg'."
+      "PGS with elliptic cone is not supported; use solver='newton'/'cg' "
+      "or cone='pyramidal'."
     )
 
   pairs_list, groups_list = _candidate_pairs(m)

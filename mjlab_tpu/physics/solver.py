@@ -315,6 +315,50 @@ def solve(tp: Topology, m: Model, d: Data) -> Data:
     )
     return out[0]
 
+  def pgs_solve():
+    """Projected Gauss-Seidel on the DUAL soft-constraint QP — MuJoCo's
+    mjSOL_PGS (pyramidal cone; elliptic+PGS is rejected at conversion,
+    io.py). The dual is strictly convex (regularizer R = 1/D > 0), so its
+    optimum is unique and matches MuJoCo's at convergence regardless of
+    sweep details:  min_f 0.5 fᵀ(A+R)f + fᵀb  with A = J M⁻¹ Jᵀ,
+    b = J qacc_smooth − aref, per-row feasible sets: friction rows
+    [−fl, fl] (Huber conjugate), limit & pyramidal-facet rows [0, ∞).
+    Sequential sweeps ride a fori_loop over rows — dual coordinate descent
+    is inherently ordered; this path exists for config-surface parity, the
+    lockstep-batched production solvers are Newton/CG above."""
+    MinvJt = smooth.solve_m(d, J.T)  # (nv, nefc); triangular solves take 2-D rhs
+    A = J @ MinvJt
+    active = D > 0
+    R = jnp.where(active, 1.0 / jnp.maximum(D, _EPS), 0.0)
+    b = J @ a0 - aref
+    lo = jnp.where(is_fric > 0, -fl, 0.0)
+    hi = jnp.where(is_fric > 0, fl, jnp.inf)
+    lo = jnp.where(active, lo, 0.0)
+    hi = jnp.where(active, hi, 0.0)
+    diag = jnp.diagonal(A) + R
+
+    def row_update(i, f):
+      g = A[i] @ f + R[i] * f[i] + b[i]
+      fi = f[i] - g / jnp.maximum(diag[i], _EPS)
+      return f.at[i].set(jnp.clip(fi, lo[i], hi[i]))
+
+    def sweep(_, f):
+      return jax.lax.fori_loop(0, tp.nefc, row_update, f)
+
+    f = jax.lax.fori_loop(
+      0, m.opt.iterations, sweep, jnp.zeros(tp.nefc, dtype=dtype)
+    )
+    return a0 + MinvJt @ f, f
+
+  if m.opt.solver == 0:  # mjSOL_PGS
+    x, f_pgs = pgs_solve()
+    qfrc = J.T @ f_pgs
+    return d.replace(
+      qacc=x,
+      efc_force=f_pgs,
+      qfrc_constraint=qfrc,
+      qacc_warmstart=x,
+    )
   if m.opt.solver == 1:  # mjSOL_CG
     x = cg_solve(x)
   else:

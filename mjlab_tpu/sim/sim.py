@@ -47,9 +47,9 @@ class MujocoCfg:
   impratio: float = 1.0
   cone: Literal["pyramidal", "elliptic"] = "pyramidal"
   # `jacobian` kept for config-surface parity; this engine always uses
-  # dense Jacobians. Solver: newton (default) or cg (M-preconditioned
-  # Polak-Ribière); pgs is rejected at model conversion (sequential dual
-  # sweeps are hostile to lockstep batched execution).
+  # dense Jacobians. Solver: newton (default), cg (M-preconditioned
+  # Polak-Ribière), or pgs (projected Gauss-Seidel on the dual —
+  # pyramidal cone only; elliptic+pgs is rejected at model conversion).
   jacobian: Literal["auto", "dense", "sparse"] = "auto"
   solver: Literal["newton", "cg", "pgs"] = "newton"
   iterations: int = 100

@@ -139,9 +139,47 @@ def test_cg_solver_trajectory_parity():
   assert float(jnp.linalg.norm(d.qvel)) < 0.05
 
 
-def test_pgs_solver_rejected():
+def test_pgs_solver_trajectory_parity():
+  """solver="PGS": the dual projected Gauss-Seidel path. The dual QP is
+  strictly convex (R = 1/D > 0) so both engines converge to the same unique
+  force vector; at high iteration counts the trajectories match tightly.
+  Scene mixes pyramidal contacts, a joint limit, and dof friction loss —
+  every dual projection type."""
   xml = """
-<mujoco><option solver="PGS"/>
+<mujoco><option timestep="0.002" solver="PGS" iterations="100"/>
+  <worldbody>
+    <geom name="floor" type="plane" size="10 10 0.1"/>
+    <body pos="0 0 0.1" euler="2 1 0"><freejoint/>
+      <geom type="box" size="0.1 0.08 0.06" friction="0.7 0.01 0.001"/>
+      <body pos="0.1 0 0.1">
+        <joint name="arm" type="hinge" axis="0 1 0" range="-0.5 0.5"
+               frictionloss="0.2" damping="0.01"/>
+        <geom type="capsule" fromto="0 0 0 0.2 0 0" size="0.03"
+              contype="0" conaffinity="0"/>
+      </body>
+    </body>
+  </worldbody></mujoco>"""
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  assert mjm.opt.solver == mujoco.mjtSolver.mjSOL_PGS
+  mjd = mujoco.MjData(mjm)
+  mjd.qvel[:6] = [0.1, 0, -0.4, 0.2, 0.3, -0.1]
+  mjd.qvel[6] = 1.0
+
+  tp, model = physics.put_model(mjm, dtype=jnp.float64)
+  assert model.opt.solver == 0
+  step = jax.jit(functools.partial(physics.step, tp))
+  d = physics.make_data(tp, model)
+  d = d.replace(qpos=jnp.asarray(mjd.qpos.copy()), qvel=jnp.asarray(mjd.qvel.copy()))
+  for _ in range(150):
+    mujoco.mj_step(mjm, mjd)
+    d = step(model, d)
+  np.testing.assert_allclose(np.asarray(d.qpos), mjd.qpos, atol=2e-3)
+  assert float(jnp.linalg.norm(d.qvel - jnp.asarray(mjd.qvel))) < 0.05
+
+
+def test_pgs_elliptic_rejected():
+  xml = """
+<mujoco><option solver="PGS" cone="elliptic"/>
   <worldbody>
     <geom type="plane" size="1 1 0.1"/>
     <body pos="0 0 0.2"><freejoint/><geom type="sphere" size="0.1"/></body>
