@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from mjlab_tpu.core import math as mt
 from mjlab_tpu.physics.types import ConeType, Data, Model, Topology
 
 _MINVAL = 1e-15
@@ -134,26 +135,29 @@ def slot_tables(tp: Topology, cone: int) -> SlotTables:
   )
 
 
-def efc_row_types(tp: Topology) -> tuple[int, int, int]:
+def efc_row_types(tp: Topology) -> tuple[int, int, int, int]:
+  """(ne, nf, nl, nc): equality, dof-friction, limit, contact row counts —
+  in efc layout order."""
+  ne = tp.neq_rows
   nf = len(tp.friction_dof_ids)
   nl = len(tp.limited_joint_ids)
-  return nf, nl, tp.nefc - nf - nl
+  return ne, nf, nl, tp.nefc - ne - nf - nl
 
 
 def contact_slot_row_adr(tp: Topology, cone: int) -> np.ndarray:
   """Absolute efc row address of each contact slot's first row (static)."""
-  nf, nl, _ = efc_row_types(tp)
+  ne, nf, nl, _ = efc_row_types(tp)
   st = slot_tables(tp, cone)
-  return nf + nl + st.slot_row_adr
+  return ne + nf + nl + st.slot_row_adr
 
 
 def elliptic_cone_slots(tp: Topology) -> tuple[np.ndarray, np.ndarray]:
   """(slot indices, first-row addresses) of condim≥3 contacts under the
   elliptic cone — the slots the solver treats as coupled cone constraints."""
   st = slot_tables(tp, ConeType.ELLIPTIC)
-  nf, nl, _ = efc_row_types(tp)
+  ne, nf, nl, _ = efc_row_types(tp)
   idx = np.nonzero(st.condim >= 3)[0]
-  return idx, nf + nl + st.slot_row_adr[idx]
+  return idx, ne + nf + nl + st.slot_row_adr[idx]
 
 
 def contact_forces(tp: Topology, m: Model, d: Data) -> jax.Array:
@@ -211,6 +215,179 @@ def make_constraint(tp: Topology, m: Model, d: Data) -> Data:
   J_parts, D_parts, aref_parts, pos_parts, margin_parts, fl_parts = (
     [], [], [], [], [], []
   )
+
+  # 0) Equality rows (bilateral, always included; they PRECEDE every other
+  # row class, matching MuJoCo's efc layout — mjCNSTR_EQUALITY first).
+  if tp.neq_rows:
+    import mujoco as _mj
+
+    origins_v = d.subtree_com[tp.body_rootid[tp.dof_bodyid]]  # (nv, 3)
+    ang_v, lin_v = d.cdof[:, :3], d.cdof[:, 3:]
+
+    def _point_jac(b: int, p):
+      """(3, nv) translational point Jacobian of point p on body b."""
+      jac = lin_v + jnp.cross(ang_v, p[None] - origins_v)  # (nv, 3)
+      mask = jnp.asarray(tp.body_dof_mask[b], dtype=dtype)
+      return (jac * mask[:, None]).T
+
+    def _eq_rows_from(J, pos, solref, solimp, diag_approx, jdot_qdot):
+      """Equality finalization: ONE impedance from the norm of the whole
+      residual vector, shared across the constraint's rows, and a J̇q̇
+      bias in aref — both probed against mujoco's efc_D/efc_aref (the
+      spatial equality rows are the only efc rows where mujoco subtracts
+      the Jacobian-derivative term)."""
+      k, b, imp = _kbi(solref, solimp, jnp.linalg.norm(pos))
+      vel = J @ d.qvel
+      aref = -b * vel - k * imp * pos - jdot_qdot
+      r = jnp.maximum((1 - imp) / imp * diag_approx, _MINVAL)
+      return 1.0 / r, aref
+
+    def _body_bias(b: int):
+      """(6,) [ang, lin] Σ_i q̇_i ċdof_i over b's ancestor dofs — the
+      velocity-product (bias) spatial acceleration of body b."""
+      mask = jnp.asarray(tp.body_dof_mask[b], dtype=dtype)
+      return (d.cdof_dot * (d.qvel * mask)[:, None]).sum(0)
+
+    def _point_jdot_qdot(b: int, p):
+      """J̇q̇ of the translational point Jacobian of p on body b."""
+      off = p - d.subtree_com[tp.body_rootid[b]]
+      v_p = d.cvel[b, 3:] + jnp.cross(d.cvel[b, :3], off)
+      bias = _body_bias(b)
+      return bias[3:] + jnp.cross(bias[:3], off) + jnp.cross(d.cvel[b, :3], v_p)
+
+    for e in np.nonzero(tp.eq_active0)[0]:
+      et = int(tp.eq_type[e])
+      if et == int(_mj.mjtEq.mjEQ_CONNECT):
+        b1, b2 = int(tp.eq_obj1id[e]), int(tp.eq_obj2id[e])
+        a1 = m.eq_data[e, 0:3].astype(dtype)
+        a2 = m.eq_data[e, 3:6].astype(dtype)
+        p1 = d.xpos[b1] + d.xmat[b1] @ a1
+        p2 = d.xpos[b2] + d.xmat[b2] @ a2
+        J = _point_jac(b1, p1) - _point_jac(b2, p2)  # (3, nv)
+        pos = p1 - p2
+        jd = _point_jdot_qdot(b1, p1) - _point_jdot_qdot(b2, p2)
+        iw = jnp.broadcast_to(
+          m.body_invweight0[b1, 0] + m.body_invweight0[b2, 0], (3,)
+        )
+        nrows = 3
+      elif et == int(_mj.mjtEq.mjEQ_JOINT):
+        j1, j2 = int(tp.eq_obj1id[e]), int(tp.eq_obj2id[e])
+        q1 = d.qpos[int(tp.jnt_qposadr[j1])]
+        q1_0 = m.qpos0[int(tp.jnt_qposadr[j1])]
+        coef = m.eq_data[e, 0:5].astype(dtype)
+        row = np.zeros(tp.nv)
+        row[int(tp.jnt_dofadr[j1])] = 1.0
+        J = jnp.asarray(row[None], dtype=dtype)
+        iw_val = m.dof_invweight0[int(tp.jnt_dofadr[j1])]
+        if j2 >= 0:
+          q2 = d.qpos[int(tp.jnt_qposadr[j2])]
+          dq = q2 - m.qpos0[int(tp.jnt_qposadr[j2])]
+          powers = jnp.stack(
+            [jnp.ones_like(dq), dq, dq**2, dq**3, dq**4]
+          )
+          dpowers = jnp.stack(
+            [jnp.zeros_like(dq), jnp.ones_like(dq), 2 * dq, 3 * dq**2,
+             4 * dq**3]
+          )
+          poly = coef @ powers
+          dpoly = coef @ dpowers
+          e2 = jnp.zeros(tp.nv, dtype=dtype).at[int(tp.jnt_dofadr[j2])].set(
+            -dpoly
+          )
+          J = J + e2[None]
+          pos = (q1 - q1_0 - poly).reshape(1)
+          iw_val = iw_val + m.dof_invweight0[int(tp.jnt_dofadr[j2])]
+        else:
+          pos = (q1 - q1_0 - coef[0]).reshape(1)
+        jd = jnp.zeros(1, dtype=dtype)  # mujoco omits J̇q̇ for joint eqs (probed)
+        iw = jnp.broadcast_to(iw_val, (1,))
+        nrows = 1
+      elif et == int(_mj.mjtEq.mjEQ_WELD):
+        b1, b2 = int(tp.eq_obj1id[e]), int(tp.eq_obj2id[e])
+        anchor = m.eq_data[e, 0:3].astype(dtype)  # in body2 frame
+        relpose = m.eq_data[e, 3:6].astype(dtype)  # body1 pos of body2
+        relquat = m.eq_data[e, 6:10].astype(dtype)  # body1 quat of body2
+        torquescale = m.eq_data[e, 10].astype(dtype)
+        # Position residual: body2's anchor (in body2 frame) vs the target
+        # point fixed in body1 at relpose_pos — mujoco stores the anchor
+        # offset already folded into relpose (probed; mj_instantiateEquality
+        # weld semantics, MJX eq_weld equivalent).
+        p2 = d.xpos[b2] + d.xmat[b2] @ anchor
+        p1 = d.xpos[b1] + d.xmat[b1] @ relpose
+        Jp = _point_jac(b1, p1) - _point_jac(b2, p2)
+        pos_p = p1 - p2
+        # Orientation residual: vector part of q_err = conj(q1·relquat)·q2,
+        # scaled by torquescale.
+        q1q = d.xquat[b1]
+        q2q = d.xquat[b2]
+        q_ref = mt.quat_mul(q1q, mt.quat_normalize(relquat))
+        q_err = mt.quat_mul(mt.quat_conjugate(q_ref), q2q)
+        pos_r = -torquescale * q_err[1:]  # mujoco sign: body1 − body2
+        # Rotational Jacobian: dvec(q_err)/dqvel. With ω_rel the world-frame
+        # relative angular velocity (body2 − body1), expressed in the q_ref
+        # frame: dq_err/dt = 0.5 · q_err ⊗ [0, ω_local], whose vector part
+        # is 0.5·(w·ω + vec×ω) — the G(q_err) map below.
+        mask1 = jnp.asarray(tp.body_dof_mask[b1], dtype=dtype)
+        mask2 = jnp.asarray(tp.body_dof_mask[b2], dtype=dtype)
+        Jw = (ang_v * (mask2 - mask1)[:, None]).T  # (3, nv) world ang vel
+        R_ref = mt.quat_to_mat(q_ref)
+        Jw_local = R_ref.T @ Jw
+        w_, x_, y_, z_ = q_err[0], q_err[1], q_err[2], q_err[3]
+        G = 0.5 * jnp.asarray(
+          [[w_, z_, -y_], [-z_, w_, x_], [y_, -x_, w_]], dtype=dtype
+        )
+        Jr = -torquescale * (G @ Jw_local)
+        J = jnp.concatenate([Jp, Jr], axis=0)
+        pos = jnp.concatenate([pos_p, pos_r])
+        # J̇q̇: translational rows via the point-bias identity; rotational
+        # rows as the second directional derivative of the quaternion
+        # residual along the flow (r̈|q̈=0 = J̇q̇), via nested jvp through
+        # FK — exact by construction, only traced for weld models.
+        jd_p = _point_jdot_qdot(b1, p1) - _point_jdot_qdot(b2, p2)
+        from mjlab_tpu.physics import kinematics as _kin
+
+        def _rot_res(qp, _b1=b1, _b2=b2, _rq=relquat, _ts=torquescale):
+          dk = _kin.kinematics(tp, m, d.replace(qpos=qp))
+          qr = mt.quat_mul(dk.xquat[_b1], mt.quat_normalize(_rq))
+          qe = mt.quat_mul(mt.quat_conjugate(qr), dk.xquat[_b2])
+          return -_ts * qe[1:]
+
+        def _qdot(qp):
+          return jax.jvp(
+            lambda h: _kin.integrate_pos(tp, m, qp, d.qvel, h),
+            (jnp.zeros((), dtype=dtype),),
+            (jnp.ones((), dtype=dtype),),
+          )[1]
+
+        def _rdot(qp, _res=_rot_res):
+          return jax.jvp(_res, (qp,), (_qdot(qp),))[1]
+
+        jd_r = jax.jvp(_rdot, (d.qpos,), (_qdot(d.qpos),))[1]
+        jd = jnp.concatenate([jd_p, jd_r])
+        iw = jnp.concatenate(
+          [
+            jnp.broadcast_to(
+              m.body_invweight0[b1, 0] + m.body_invweight0[b2, 0], (3,)
+            ),
+            jnp.broadcast_to(
+              m.body_invweight0[b1, 1] + m.body_invweight0[b2, 1], (3,)
+            ),
+          ]
+        )
+        nrows = 6
+      else:  # pragma: no cover — rejected at conversion (io.py)
+        raise NotImplementedError(f"equality type {et}")
+
+      zeros = jnp.zeros(nrows, dtype=dtype)
+      D, aref = _eq_rows_from(
+        J, pos, m.eq_solref[e], m.eq_solimp[e], iw, jd
+      )
+      J_parts.append(J)
+      D_parts.append(D)
+      aref_parts.append(aref)
+      pos_parts.append(pos)
+      margin_parts.append(zeros)
+      fl_parts.append(zeros)
 
   # 1) Dof friction rows.
   fd = tp.friction_dof_ids

@@ -22,13 +22,16 @@ def fwd_position(tp: Topology, m: Model, d: Data) -> Data:
   d = smooth.crb(tp, m, d)
   d = smooth.factor_m(tp, m, d)
   d = coll.collision(tp, m, d)
+  # com_vel precedes constraint assembly: equality-row aref needs the
+  # velocity-product terms (cvel/cdof_dot) for its J̇q̇ bias — mirrors
+  # mujoco computing efc_aref after mj_comVel (mj_fwdVelocity).
+  d = smooth.com_vel(tp, m, d)
   d = constraint.make_constraint(tp, m, d)
   d = sensors.sensor_pos(tp, m, d)
   return d
 
 
 def fwd_velocity(tp: Topology, m: Model, d: Data) -> Data:
-  d = smooth.com_vel(tp, m, d)
   d = smooth.rne(tp, m, d)
   d = smooth.passive(tp, m, d)
   d = sensors.sensor_vel(tp, m, d)

@@ -450,8 +450,30 @@ def put_model(
     & np.isin(m.jnt_type, [mujoco.mjtJoint.mjJNT_HINGE, mujoco.mjtJoint.mjJNT_SLIDE])
   )[0]
 
+  # Equality constraints: connect (3 rows), weld (6), joint (1). Rows are
+  # allocated for every compile-time-active equality; tendon/flex/distance
+  # equalities are not supported (absent from the reference asset zoo).
+  _EQ_ROWS = {
+    int(mujoco.mjtEq.mjEQ_CONNECT): 3,
+    int(mujoco.mjtEq.mjEQ_WELD): 6,
+    int(mujoco.mjtEq.mjEQ_JOINT): 1,
+  }
+  neq_rows = 0
+  for e in range(m.neq):
+    if not m.eq_active0[e]:
+      continue
+    et = int(m.eq_type[e])
+    if et not in _EQ_ROWS:
+      raise NotImplementedError(f"equality constraint type {et} not supported")
+    if et != int(mujoco.mjtEq.mjEQ_JOINT) and int(m.eq_objtype[e]) != int(
+      mujoco.mjtObj.mjOBJ_BODY
+    ):
+      raise NotImplementedError("site-based connect/weld equalities")
+    neq_rows += _EQ_ROWS[et]
+
   nefc = (
-    len(friction_dofs)
+    neq_rows
+    + len(friction_dofs)
     + len(limited_joints)
     + sum(p.ncon * contact_rows(p.condim, cone) for p in pairs)
     + sum(
@@ -548,6 +570,11 @@ def put_model(
     body_dof_mask=_body_masks(m)[1],
     limited_joint_ids=limited_joints,
     friction_dof_ids=friction_dofs,
+    eq_type=m.eq_type.copy(),
+    eq_obj1id=m.eq_obj1id.copy(),
+    eq_obj2id=m.eq_obj2id.copy(),
+    eq_active0=m.eq_active0.copy().astype(bool),
+    neq_rows=neq_rows,
     pairs=pairs,
     terrain_groups=terrain_groups,
     ncon_max=ncon_max,
@@ -624,6 +651,9 @@ def put_model(
     actuator_forcerange=arr(m.actuator_forcerange),
     hfield_data=arr(m.hfield_data if m.nhfield else np.zeros(0)),
     hfield_size=arr(m.hfield_size if m.nhfield else np.zeros((0, 4))),
+    eq_solref=arr(m.eq_solref if m.neq else np.zeros((0, 2))),
+    eq_solimp=arr(m.eq_solimp if m.neq else np.zeros((0, 5))),
+    eq_data=arr(m.eq_data if m.neq else np.zeros((0, 11))),
   )
   return tp, model
 

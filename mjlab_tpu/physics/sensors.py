@@ -47,11 +47,12 @@ _ACC_STAGE = {
 
 def _limit_row(tp: Topology, joint_id: int) -> int | None:
   """efc row of a joint's limit constraint (static layout: limit rows follow
-  the dof-friction block in limited_joint_ids order; constraint.py)."""
+  the equality and dof-friction blocks in limited_joint_ids order;
+  constraint.py efc_row_types)."""
   pos = np.nonzero(tp.limited_joint_ids == joint_id)[0]
   if len(pos) == 0:
     return None
-  return len(tp.friction_dof_ids) + int(pos[0])
+  return tp.neq_rows + len(tp.friction_dof_ids) + int(pos[0])
 
 
 def _obj_frame(tp: Topology, d: Data, objtype: int, objid: int):

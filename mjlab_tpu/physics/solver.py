@@ -37,9 +37,14 @@ _EPS = 1e-15
 
 
 def _row_masks(tp: Topology, dtype):
-  nf, nl, nc = efc_row_types(tp)
-  is_friction = jnp.asarray([1.0] * nf + [0.0] * (nl + nc), dtype=dtype)
-  return is_friction
+  """(is_eq, is_friction) row-class masks over the efc layout
+  [equality | dof friction | limits | contacts]."""
+  ne, nf, nl, nc = efc_row_types(tp)
+  is_eq = jnp.asarray([1.0] * ne + [0.0] * (nf + nl + nc), dtype=dtype)
+  is_friction = jnp.asarray(
+    [0.0] * ne + [1.0] * nf + [0.0] * (nl + nc), dtype=dtype
+  )
+  return is_eq, is_friction
 
 
 def solve(tp: Topology, m: Model, d: Data) -> Data:
@@ -56,7 +61,7 @@ def solve(tp: Topology, m: Model, d: Data) -> Data:
   D = d.efc_D
   aref = d.efc_aref
   fl = d.efc_frictionloss
-  is_fric = _row_masks(tp, dtype)
+  is_eq, is_fric = _row_masks(tp, dtype)
   a0 = d.qacc_smooth
 
   # Elliptic cone bookkeeping (static). `reg` masks rows handled by the
@@ -170,7 +175,9 @@ def solve(tp: Topology, m: Model, d: Data) -> Data:
       outside, fl * jnp.abs(r) - 0.5 * fl * lin_thresh, quad
     )
     one_sided = jnp.where(r < 0, quad, 0.0)
-    return jnp.where(is_fric > 0, huber, one_sided) * reg
+    # Equality rows are bilateral: quadratic on both sides.
+    base = jnp.where(is_eq > 0, quad, one_sided)
+    return jnp.where(is_fric > 0, huber, base) * reg
 
   def total_cost(x):
     dx = x - a0
@@ -189,7 +196,8 @@ def solve(tp: Topology, m: Model, d: Data) -> Data:
     quad_f = -D * r
     huber_f = jnp.clip(quad_f, -fl, fl)
     one_sided_f = jnp.where(r < 0, quad_f, 0.0)
-    f = jnp.where(is_fric > 0, huber_f, one_sided_f) * reg
+    base_f = jnp.where(is_eq > 0, quad_f, one_sided_f)
+    f = jnp.where(is_fric > 0, huber_f, base_f) * reg
     for g in cone_groups:
       f = f.at[g["rows"].reshape(-1)].set(
         cone_force_group(g, r[g["rows"]]).reshape(-1)
@@ -201,7 +209,8 @@ def solve(tp: Topology, m: Model, d: Data) -> Data:
     lin_thresh = fl / jnp.maximum(D, 1e-30)
     huber_h = jnp.where(jnp.abs(r) <= lin_thresh, D, 0.0)
     one_sided_h = jnp.where(r < 0, D, 0.0)
-    return jnp.where(is_fric > 0, huber_h, one_sided_h) * reg
+    base_h = jnp.where(is_eq > 0, D, one_sided_h)
+    return jnp.where(is_fric > 0, huber_h, base_h) * reg
 
   eye = jnp.eye(tp.nv, dtype=dtype)
 
@@ -333,6 +342,8 @@ def solve(tp: Topology, m: Model, d: Data) -> Data:
     b = J @ a0 - aref
     lo = jnp.where(is_fric > 0, -fl, 0.0)
     hi = jnp.where(is_fric > 0, fl, jnp.inf)
+    lo = jnp.where(is_eq > 0, -jnp.inf, lo)  # equality rows: unbounded dual
+    hi = jnp.where(is_eq > 0, jnp.inf, hi)
     lo = jnp.where(active, lo, 0.0)
     hi = jnp.where(active, hi, 0.0)
     diag = jnp.diagonal(A) + R

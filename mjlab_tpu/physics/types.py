@@ -163,6 +163,14 @@ class Topology:
   limited_joint_ids: np.ndarray  # joints with limits (hinge/slide only)
   friction_dof_ids: np.ndarray  # dofs with frictionloss > 0 (row allocation)
 
+  # Equality constraints (active-at-compile connect/weld/joint; efc rows
+  # PRECEDE all other row classes, matching MuJoCo's efc layout).
+  eq_type: np.ndarray  # (neq,) mjtEq
+  eq_obj1id: np.ndarray  # (neq,)
+  eq_obj2id: np.ndarray  # (neq,)
+  eq_active0: np.ndarray  # (neq,) bool
+  neq_rows: int  # total equality efc rows
+
   # Collision pair table (static slot allocation).
   pairs: tuple[GeomPair, ...]
   # Runtime-broadphase terrain groups; their contact slots follow the static
@@ -276,6 +284,10 @@ class Model:
 
   hfield_data: jax.Array  # concatenated raster data, () if no hfields
   hfield_size: jax.Array  # (nhfield, 4)
+
+  eq_solref: jax.Array  # (neq, 2)
+  eq_solimp: jax.Array  # (neq, 5)
+  eq_data: jax.Array  # (neq, 11) anchors / polycoef / relpose per type
 
   def axes(self, batched: set[str] | tuple[str, ...] = ()) -> "Model":
     """vmap in_axes tree: 0 for DR-batched leaves, None elsewhere."""
