@@ -1,14 +1,17 @@
 """Constraint assembly: Jacobians, impedances, reference accelerations.
 
-Implements MuJoCo's soft-constraint model (dof friction, joint limits,
-frictional contacts with pyramidal cones) with fully static row allocation:
-row meanings are fixed at trace time; rows whose constraint is not "included"
-(dist >= margin — MuJoCo drops them from efc entirely) get D = 0 and are
-inert in the solver. Assembly is vectorized over rows (no per-row Python
-ops in the trace): one batched point-Jacobian computation covers every
-contact slot, and facet rows are built by group (condim) with masked math.
+Implements MuJoCo's soft-constraint model (equality constraints, dof
+friction, joint limits, frictional contacts with pyramidal/elliptic cones)
+with fully static row allocation: row meanings are fixed at trace time;
+rows whose constraint is not "included" (dist >= margin — MuJoCo drops
+them from efc entirely) get D = 0 and are inert in the solver. Assembly is
+vectorized over rows (no per-row Python ops in the trace): one batched
+point-Jacobian computation covers every contact slot, and facet rows are
+built by group (condim) with masked math. Equality rows (tiny, host-
+unrolled counts) are the exception: per-constraint residual construction
+with a nested-jvp J̇q̇ bias for the weld rotation rows.
 
-Row layout: [dof friction | joint limits | contact groups by condim].
+Row layout: [equality | dof friction | joint limits | contact groups].
 """
 
 from __future__ import annotations
@@ -140,7 +143,7 @@ def efc_row_types(tp: Topology) -> tuple[int, int, int, int]:
   in efc layout order."""
   ne = tp.neq_rows
   nf = len(tp.friction_dof_ids)
-  nl = len(tp.limited_joint_ids)
+  nl = len(tp.limited_joint_ids) + len(tp.limited_ball_joint_ids)
   return ne, nf, nl, tp.nefc - ne - nf - nl
 
 
@@ -429,6 +432,36 @@ def make_constraint(tp: Topology, m: Model, d: Data) -> Data:
     pos_parts.append(dist)
     margin_parts.append(margin)
     fl_parts.append(fl)
+
+  # 2b) Ball-joint limit rows: one cone-angle row per limited ball joint —
+  # dist = range_max − ‖rotvec(q_ball)‖, J = −axis on the joint's 3 dofs
+  # (local frame; ball dof velocity is the local angular velocity). Rows
+  # follow the hinge/slide block rather than interleaving by joint id —
+  # numerically order-free, only the efc row ORDER differs from mujoco on
+  # models mixing limited ball and hinge/slide joints.
+  bj = tp.limited_ball_joint_ids
+  if len(bj):
+    for j in bj:
+      qadr = int(tp.jnt_qposadr[j])
+      dadr = int(tp.jnt_dofadr[j])
+      q = d.qpos[qadr : qadr + 4]
+      vec = q[1:]
+      sin_half = jnp.linalg.norm(vec)
+      angle = 2.0 * jnp.arctan2(sin_half, q[0])
+      axis = vec / jnp.maximum(sin_half, _MINVAL)
+      dist = (m.jnt_range[j, 1] - angle).reshape(1)
+      J = jnp.zeros((1, nv), dtype=dtype).at[0, dadr : dadr + 3].set(-axis)
+      margin = m.jnt_margin[j].reshape(1)
+      D, aref, fl = _rows_from(
+        J, dist, margin, m.jnt_solref[j][None], m.jnt_solimp[j][None],
+        m.dof_invweight0[dadr].reshape(1), d.qvel, include=dist < margin,
+      )
+      J_parts.append(J)
+      D_parts.append(D)
+      aref_parts.append(aref)
+      pos_parts.append(dist)
+      margin_parts.append(margin)
+      fl_parts.append(fl)
 
   # 3) Contact rows — fully vectorized over slots.
   st = slot_tables(tp, m.opt.cone)

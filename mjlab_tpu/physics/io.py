@@ -449,6 +449,9 @@ def put_model(
     (m.jnt_limited == 1)
     & np.isin(m.jnt_type, [mujoco.mjtJoint.mjJNT_HINGE, mujoco.mjtJoint.mjJNT_SLIDE])
   )[0]
+  limited_ball_joints = np.nonzero(
+    (m.jnt_limited == 1) & (m.jnt_type == mujoco.mjtJoint.mjJNT_BALL)
+  )[0]
 
   # Equality constraints: connect (3 rows), weld (6), joint (1). Rows are
   # allocated for every compile-time-active equality; tendon/flex/distance
@@ -475,6 +478,7 @@ def put_model(
     neq_rows
     + len(friction_dofs)
     + len(limited_joints)
+    + len(limited_ball_joints)
     + sum(p.ncon * contact_rows(p.condim, cone) for p in pairs)
     + sum(
       tg.slots * sum(contact_rows(int(c), cone) for c in tg.condim)
@@ -569,6 +573,7 @@ def put_model(
     body_subtree_mask=_body_masks(m)[0],
     body_dof_mask=_body_masks(m)[1],
     limited_joint_ids=limited_joints,
+    limited_ball_joint_ids=limited_ball_joints,
     friction_dof_ids=friction_dofs,
     eq_type=m.eq_type.copy(),
     eq_obj1id=m.eq_obj1id.copy(),

@@ -49,10 +49,14 @@ def _limit_row(tp: Topology, joint_id: int) -> int | None:
   """efc row of a joint's limit constraint (static layout: limit rows follow
   the equality and dof-friction blocks in limited_joint_ids order;
   constraint.py efc_row_types)."""
+  base = tp.neq_rows + len(tp.friction_dof_ids)
   pos = np.nonzero(tp.limited_joint_ids == joint_id)[0]
-  if len(pos) == 0:
-    return None
-  return tp.neq_rows + len(tp.friction_dof_ids) + int(pos[0])
+  if len(pos):
+    return base + int(pos[0])
+  pos = np.nonzero(tp.limited_ball_joint_ids == joint_id)[0]
+  if len(pos):
+    return base + len(tp.limited_joint_ids) + int(pos[0])
+  return None
 
 
 def _obj_frame(tp: Topology, d: Data, objtype: int, objid: int):

@@ -160,7 +160,8 @@ class Topology:
   dof_ancestor_mask: np.ndarray  # (nv, nv) M[i,j]=1 iff dof j is ancestor-or-self of dof i
   body_subtree_mask: np.ndarray  # (nbody, nbody) M[i,j]=1 iff body j in subtree(i)
   body_dof_mask: np.ndarray  # (nbody, nv) M[i,j]=1 iff dof j actuates an ancestor-or-self of body i
-  limited_joint_ids: np.ndarray  # joints with limits (hinge/slide only)
+  limited_joint_ids: np.ndarray  # limited hinge/slide joints
+  limited_ball_joint_ids: np.ndarray  # limited ball joints (cone-angle rows)
   friction_dof_ids: np.ndarray  # dofs with frictionloss > 0 (row allocation)
 
   # Equality constraints (active-at-compile connect/weld/joint; efc rows
