@@ -305,6 +305,34 @@ def make_constraint(tp: Topology, m: Model, d: Data) -> Data:
         jd = jnp.zeros(1, dtype=dtype)  # mujoco omits J̇q̇ for joint eqs (probed)
         iw = jnp.broadcast_to(iw_val, (1,))
         nrows = 1
+      elif et == int(_mj.mjtEq.mjEQ_TENDON):
+        # Fixed-tendon coupling: L1 − L1₀ = poly(L2 − L2₀); lengths are
+        # linear in qpos (tendon_qmat) so J rides the static tendon_vmat.
+        t1, t2 = int(tp.eq_obj1id[e]), int(tp.eq_obj2id[e])
+        coef = m.eq_data[e, 0:5].astype(dtype)
+        qm1 = jnp.asarray(tp.tendon_qmat[t1], dtype=dtype)
+        vm1 = jnp.asarray(tp.tendon_vmat[t1], dtype=dtype)
+        L1 = qm1 @ d.qpos
+        L1_0 = float(tp.tendon_length0[t1])
+        iw_val = float(tp.tendon_invweight0[t1])
+        if t2 >= 0:
+          qm2 = jnp.asarray(tp.tendon_qmat[t2], dtype=dtype)
+          vm2 = jnp.asarray(tp.tendon_vmat[t2], dtype=dtype)
+          dl = qm2 @ d.qpos - float(tp.tendon_length0[t2])
+          powers = jnp.stack([jnp.ones_like(dl), dl, dl**2, dl**3, dl**4])
+          dpowers = jnp.stack(
+            [jnp.zeros_like(dl), jnp.ones_like(dl), 2 * dl, 3 * dl**2,
+             4 * dl**3]
+          )
+          pos = (L1 - L1_0 - coef @ powers).reshape(1)
+          J = (vm1 - (coef @ dpowers) * vm2)[None]
+          iw_val = iw_val + float(tp.tendon_invweight0[t2])
+        else:
+          pos = (L1 - L1_0 - coef[0]).reshape(1)
+          J = vm1[None]
+        jd = jnp.zeros(1, dtype=dtype)
+        iw = jnp.broadcast_to(jnp.asarray(iw_val, dtype=dtype), (1,))
+        nrows = 1
       elif et == int(_mj.mjtEq.mjEQ_WELD):
         b1, b2 = int(tp.eq_obj1id[e]), int(tp.eq_obj2id[e])
         anchor = m.eq_data[e, 0:3].astype(dtype)  # in body2 frame

@@ -460,7 +460,16 @@ def put_model(
     int(mujoco.mjtEq.mjEQ_CONNECT): 3,
     int(mujoco.mjtEq.mjEQ_WELD): 6,
     int(mujoco.mjtEq.mjEQ_JOINT): 1,
+    int(mujoco.mjtEq.mjEQ_TENDON): 1,
   }
+
+  def _is_fixed_tendon(t: int) -> bool:
+    adr, num = int(m.tendon_adr[t]), int(m.tendon_num[t])
+    return all(
+      int(m.wrap_type[w]) == int(mujoco.mjtWrap.mjWRAP_JOINT)
+      for w in range(adr, adr + num)
+    )
+
   neq_rows = 0
   for e in range(m.neq):
     if not m.eq_active0[e]:
@@ -468,10 +477,13 @@ def put_model(
     et = int(m.eq_type[e])
     if et not in _EQ_ROWS:
       raise NotImplementedError(f"equality constraint type {et} not supported")
-    if et != int(mujoco.mjtEq.mjEQ_JOINT) and int(m.eq_objtype[e]) != int(
-      mujoco.mjtObj.mjOBJ_BODY
-    ):
-      raise NotImplementedError("site-based connect/weld equalities")
+    if et in (int(mujoco.mjtEq.mjEQ_CONNECT), int(mujoco.mjtEq.mjEQ_WELD)):
+      if int(m.eq_objtype[e]) != int(mujoco.mjtObj.mjOBJ_BODY):
+        raise NotImplementedError("site-based connect/weld equalities")
+    if et == int(mujoco.mjtEq.mjEQ_TENDON):
+      t1, t2 = int(m.eq_obj1id[e]), int(m.eq_obj2id[e])
+      if not _is_fixed_tendon(t1) or (t2 >= 0 and not _is_fixed_tendon(t2)):
+        raise NotImplementedError("spatial-tendon equality constraints")
     neq_rows += _EQ_ROWS[et]
 
   nefc = (
@@ -556,6 +568,8 @@ def put_model(
     ntendon=m.ntendon,
     tendon_qmat=tendon_qmat,
     tendon_vmat=tendon_vmat,
+    tendon_length0=m.tendon_length0.copy(),
+    tendon_invweight0=m.tendon_invweight0.copy(),
     actuator_gaintype=m.actuator_gaintype.copy(),
     actuator_biastype=m.actuator_biastype.copy(),
     actuator_ctrllimited=m.actuator_ctrllimited.copy(),

@@ -140,6 +140,8 @@ class Topology:
   ntendon: int
   tendon_qmat: np.ndarray  # (ntendon, nq)
   tendon_vmat: np.ndarray  # (ntendon, nv)
+  tendon_length0: np.ndarray  # (ntendon,)
+  tendon_invweight0: np.ndarray  # (ntendon,)
   actuator_gaintype: np.ndarray
   actuator_biastype: np.ndarray
   actuator_ctrllimited: np.ndarray

@@ -60,6 +60,26 @@ SCENES = {
     150,
     1e-6,
   ),
+  "tendon_coupling": (
+    """
+<mujoco><option timestep="0.002"/>
+  <worldbody>
+    <body pos="0 0 1"><joint name="a" type="hinge" axis="0 1 0"/>
+      <geom type="capsule" fromto="0 0 0 0.3 0 0" size="0.03" contype="0" conaffinity="0"/>
+      <body pos="0.3 0 0"><joint name="b" type="hinge" axis="0 1 0"/>
+        <geom type="capsule" fromto="0 0 0 0.2 0 0" size="0.03" contype="0" conaffinity="0"/></body>
+    </body>
+  </worldbody>
+  <tendon>
+    <fixed name="t1"><joint joint="a" coef="0.6"/><joint joint="b" coef="0.3"/></fixed>
+    <fixed name="t2"><joint joint="b" coef="1.0"/></fixed>
+  </tendon>
+  <equality><tendon tendon1="t1" tendon2="t2" polycoef="0.05 0.4 -0.1 0 0"/></equality>
+</mujoco>""",
+    [1.0, -0.6],
+    200,
+    1e-7,
+  ),
   "connect_with_contact": (
     """
 <mujoco><option timestep="0.002"/>
@@ -113,19 +133,21 @@ def test_equality_holds_loop_closed():
   assert float(jnp.linalg.norm(p1 - p2)) < 5e-3
 
 
-def test_unsupported_equality_rejected():
+def test_spatial_tendon_equality_rejected():
+  """Spatial-tendon equality constraints are out of scope (fixed tendons
+  only, matching the transmission/tendon-matrix support surface)."""
   xml = """
 <mujoco>
   <worldbody>
     <body name="a" pos="0 0 1"><joint name="ja" type="hinge" axis="0 1 0"/>
       <geom type="capsule" fromto="0 0 0 0.4 0 0" size="0.03"/>
-      <body name="b" pos="0.4 0 0"><joint name="jb" type="hinge" axis="0 1 0"/>
-        <geom type="capsule" fromto="0 0 0 0.3 0 0" size="0.03"/></body>
+      <site name="s1" pos="0.4 0 0"/>
     </body>
+    <site name="s0" pos="0 0 1.3"/>
   </worldbody>
-  <tendon><fixed name="t"><joint joint="ja" coef="1"/><joint joint="jb" coef="-1"/></fixed></tendon>
+  <tendon><spatial name="t"><site site="s0"/><site site="s1"/></spatial></tendon>
   <equality><tendon tendon1="t"/></equality>
 </mujoco>"""
   mjm = mujoco.MjModel.from_xml_string(xml)
-  with pytest.raises(NotImplementedError, match="equality"):
+  with pytest.raises(NotImplementedError, match="tendon"):
     physics.put_model(mjm, dtype=jnp.float64)
