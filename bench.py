@@ -88,6 +88,12 @@ def _bench_train(task: str, num_envs: int, iters: int) -> dict:
 
   env = _make_env(task, num_envs)
   agent = tasks.load_cfg_from_registry(task, "rl_cfg_entry_point")
+  # Host-loop dispatch batching knobs (rl/config.py): overridable per run
+  # so chunk sizes can be A/B-measured on hardware without code edits.
+  if os.environ.get("BENCH_ROLLOUT_CHUNK"):
+    agent.rollout_chunk = int(os.environ["BENCH_ROLLOUT_CHUNK"])
+  if os.environ.get("BENCH_EPOCH_CHUNK"):
+    agent.epoch_chunk = os.environ["BENCH_EPOCH_CHUNK"] == "1"
   runner = OnPolicyRunner(env, agent)
   state = runner.state
   # Two warmup iterations: the second still compiles host-loop helpers.

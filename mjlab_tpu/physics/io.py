@@ -558,6 +558,7 @@ def put_model(
     geom_priority=m.geom_priority.copy(),
     geom_dataid=m.geom_dataid.copy(),
     geom_hulls=geom_hulls,
+    body_gravcomp_host=m.body_gravcomp.copy(),
     site_bodyid=m.site_bodyid.copy(),
     site_type=m.site_type.copy(),
     site_size=m.site_size.copy(),
@@ -639,6 +640,7 @@ def put_model(
     body_inertia=arr(m.body_inertia),
     body_invweight0=arr(m.body_invweight0),
     body_subtreemass=arr(m.body_subtreemass),
+    body_gravcomp=arr(m.body_gravcomp),
     jnt_axis=arr(m.jnt_axis),
     jnt_pos=arr(m.jnt_pos),
     jnt_range=arr(m.jnt_range),

@@ -301,10 +301,29 @@ def passive(tp: Topology, m: Model, d: Data) -> Data:
     frc = -m.jnt_stiffness[ids] * (d.qpos[qadr] - m.qpos_spring[qadr])
     qfrc_spring = qfrc_spring.at[dadr].set(frc)
   qfrc_damper = -m.dof_damping * d.qvel
+  qfrc_passive = qfrc_spring + qfrc_damper
+
+  # Gravity compensation (mj_gravcomp): anti-gravity force
+  # gravcomp·mass·(−g) applied at each compensated body's COM. The body
+  # set is static (host model value selects it); zero traced cost when no
+  # body uses gravcomp.
+  gc = np.nonzero(np.asarray(tp.body_gravcomp_host) > 0)[0]
+  if len(gc):
+    origins = d.subtree_com[tp.body_rootid[tp.dof_bodyid]]  # (nv, 3)
+    ang, lin = d.cdof[:, :3], d.cdof[:, 3:]
+    f = (
+      -(m.body_gravcomp[gc] * m.body_mass[gc])[:, None] * m.opt.gravity[None]
+    )  # (G, 3)
+    jac = lin[None] + jnp.cross(ang[None], d.xipos[gc][:, None] - origins[None])
+    mask = jnp.asarray(tp.body_dof_mask[gc], dtype=dtype)  # (G, nv)
+    qfrc_passive = qfrc_passive + jnp.einsum(
+      "gvj,gj->v", jac * mask[:, :, None], f
+    )
+
   return d.replace(
     qfrc_spring=qfrc_spring,
     qfrc_damper=qfrc_damper,
-    qfrc_passive=qfrc_spring + qfrc_damper,
+    qfrc_passive=qfrc_passive,
   )
 
 

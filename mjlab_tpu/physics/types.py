@@ -122,6 +122,10 @@ class Topology:
   # ({geom_id: convex.Hull} — decimated verts + faces + edge directions).
   geom_hulls: dict
 
+  # Static gravcomp selector (host copy; the traced value lives in
+  # Model.body_gravcomp so it stays DR-able).
+  body_gravcomp_host: np.ndarray
+
   # Sites.
   site_bodyid: np.ndarray
   site_type: np.ndarray  # mjtGeom of the site zone (touch-sensor volumes)
@@ -250,6 +254,7 @@ class Model:
   body_inertia: jax.Array
   body_invweight0: jax.Array
   body_subtreemass: jax.Array
+  body_gravcomp: jax.Array
 
   jnt_axis: jax.Array
   jnt_pos: jax.Array
