@@ -421,6 +421,31 @@ def put_model(
     integrator = Integrator.EULER
   else:
     raise NotImplementedError(f"Integrator {m.opt.integrator} not supported.")
+  # Guard against silently mis-simulated features: anything the engine
+  # does not model must be rejected at conversion, not ignored.
+  if float(m.opt.viscosity) or float(m.opt.density) or np.any(m.opt.wind):
+    raise NotImplementedError(
+      "fluid forces (opt.viscosity/density/wind) are not supported"
+    )
+  if int(m.opt.noslip_iterations) > 0:
+    raise NotImplementedError("noslip post-solver is not supported")
+  for u in range(m.nu):
+    if int(m.actuator_gaintype[u]) != int(mujoco.mjtGain.mjGAIN_FIXED):
+      raise NotImplementedError(
+        f"actuator {u}: gaintype {int(m.actuator_gaintype[u])} "
+        "(only FIXED gain is supported — motor/position/velocity actuators)"
+      )
+    if int(m.actuator_biastype[u]) not in (
+      int(mujoco.mjtBias.mjBIAS_NONE),
+      int(mujoco.mjtBias.mjBIAS_AFFINE),
+    ):
+      raise NotImplementedError(f"actuator {u}: muscle bias is not supported")
+    if int(m.actuator_dyntype[u]) != int(mujoco.mjtDyn.mjDYN_NONE):
+      raise NotImplementedError(
+        f"actuator {u}: activation dynamics (dyntype "
+        f"{int(m.actuator_dyntype[u])}) are not supported"
+      )
+
   cone = int(m.opt.cone)
   solver = int(m.opt.solver)
   if solver == int(mujoco.mjtSolver.mjSOL_PGS) and cone == int(

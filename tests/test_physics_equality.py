@@ -151,3 +151,26 @@ def test_spatial_tendon_equality_rejected():
   mjm = mujoco.MjModel.from_xml_string(xml)
   with pytest.raises(NotImplementedError, match="tendon"):
     physics.put_model(mjm, dtype=jnp.float64)
+
+
+def test_unsupported_model_features_rejected():
+  """Conversion must refuse features the engine does not model (silent
+  mis-simulation guard, io.put_model)."""
+  cases = {
+    "fluid": '<mujoco><option viscosity="0.1"/><worldbody><body pos="0 0 1">'
+             '<freejoint/><geom type="sphere" size="0.1"/></body>'
+             '</worldbody></mujoco>',
+    "noslip": '<mujoco><option noslip_iterations="3"/><worldbody>'
+              '<body pos="0 0 1"><freejoint/><geom type="sphere" size="0.1"/>'
+              '</body></worldbody></mujoco>',
+    "actdyn": '<mujoco><worldbody><body pos="0 0 1">'
+              '<joint name="j" type="hinge"/>'
+              '<geom type="capsule" fromto="0 0 0 0.3 0 0" size="0.03"/>'
+              '</body></worldbody><actuator>'
+              '<general joint="j" dyntype="filter" dynprm="0.1"/>'
+              '</actuator></mujoco>',
+  }
+  for name, xml in cases.items():
+    mjm = mujoco.MjModel.from_xml_string(xml)
+    with pytest.raises(NotImplementedError):
+      physics.put_model(mjm, dtype=jnp.float64)
