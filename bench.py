@@ -47,17 +47,34 @@ def _bench_eval(task: str, num_envs: int, steps: int, warmup: int) -> dict:
     key, (num_envs, env.action_manager.total_action_dim), dtype=env.dtype
   )
 
-  state = env.state
-  step = env._jit_step
-  for _ in range(warmup):
-    state, out = step(state, action)
-  jax.block_until_ready(out[1])
+  packed_mode = os.environ.get("BENCH_PACKED") == "1"
+  if packed_mode:
+    # Flat-buffer stepping API (build_packed_step): ~25 leaf crossings per
+    # call instead of ~200 — measures the relay's per-leaf marshaling cost
+    # (docs/PERF_NOTES.md). Math-identical (tests/test_packed_step.py).
+    jit_packed, pack_s, unpack_s, _ = env.build_packed_step()
+    packed = pack_s(env.state)
+    for _ in range(warmup):
+      packed, out = jit_packed(packed, action)
+    jax.block_until_ready(out[0].get("f32"))
+    t0 = time.perf_counter()
+    for _ in range(steps):
+      packed, out = jit_packed(packed, action)
+    jax.block_until_ready(out[0].get("f32"))
+    dt = time.perf_counter() - t0
+    state = unpack_s(packed)
+  else:
+    state = env.state
+    step = env._jit_step
+    for _ in range(warmup):
+      state, out = step(state, action)
+    jax.block_until_ready(out[1])
 
-  t0 = time.perf_counter()
-  for _ in range(steps):
-    state, out = step(state, action)
-  jax.block_until_ready(out[1])
-  dt = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(steps):
+      state, out = step(state, action)
+    jax.block_until_ready(out[1])
+    dt = time.perf_counter() - t0
   env_steps_per_s = num_envs * steps / dt
 
   # Sanity: physics stayed finite. (This device→host pull happens AFTER the

@@ -197,6 +197,39 @@ class ManagerBasedRlEnv(ManagerBasedEnv, gym.Env):
     )
     self._jit_reset = jax.jit(lambda s: self._reset_impl(s))
 
+  def build_packed_step(self):
+    """High-rate stepping API: the env state and step outputs cross the
+    jit boundary as a handful of flat buffers instead of ~200 leaves
+    (utils/packing.py; per-leaf marshaling dominates small-program
+    dispatch on relay-backed runtimes — docs/PERF_NOTES.md).
+
+    Returns (jit_step_packed, pack_state, unpack_state, unpack_outputs):
+      packed = pack_state(env.state)
+      packed, out = jit_step_packed(packed, action)   # hot loop
+      obs, rew, terminated, time_outs, log = unpack_outputs(out)
+      env.state = unpack_state(packed)                # when host needs it
+    Math-identical to `step` (tests/test_packed_step.py)."""
+    from mjlab_tpu.utils.packing import build_packer
+
+    big = 256 * self.num_envs
+    pack_s, unpack_s = build_packer(self.state, big_threshold=big)
+    act = jax.ShapeDtypeStruct(
+      (self.num_envs, self.action_manager.total_action_dim), self.dtype
+    )
+    out_tmpl = jax.eval_shape(self._step_impl, self.state, act)[1]
+    pack_o, unpack_o = build_packer(out_tmpl, big_threshold=big)
+
+    def stepped(packed, action):
+      state, out = self._step_impl(unpack_s(packed), action)
+      return pack_s(state), pack_o(out)
+
+    return (
+      jax.jit(stepped, donate_argnums=(0,)),
+      jax.jit(pack_s),
+      jax.jit(unpack_s),
+      unpack_o,
+    )
+
   # -- host API -------------------------------------------------------------------
 
   def step(self, action: jax.Array):
