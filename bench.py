@@ -111,6 +111,8 @@ def _bench_train(task: str, num_envs: int, iters: int) -> dict:
     agent.rollout_chunk = int(os.environ["BENCH_ROLLOUT_CHUNK"])
   if os.environ.get("BENCH_EPOCH_CHUNK"):
     agent.epoch_chunk = os.environ["BENCH_EPOCH_CHUNK"] == "1"
+  if os.environ.get("BENCH_PACKED_HOSTLOOP"):
+    agent.packed_hostloop = os.environ["BENCH_PACKED_HOSTLOOP"] == "1"
   runner = OnPolicyRunner(env, agent)
   state = runner.state
   # Two warmup iterations: the second still compiles host-loop helpers.

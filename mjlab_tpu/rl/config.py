@@ -80,6 +80,11 @@ class RlOnPolicyRunnerCfg:
   # (pinned by tests/test_runner_modes.py).
   rollout_chunk: int = 1
   epoch_chunk: bool = False
+  # Pack the host-loop rollout carry (env state + obs + params + norms +
+  # transition buffers) into a few flat dtype buffers at the jit boundary
+  # (utils/packing.py) — cuts ~150 per-call leaf crossings to ~25 on
+  # relay-bound runtimes. Math-identical (tests/test_runner_modes.py).
+  packed_hostloop: bool = False
 
 
 # Reference-parity aliases (reference rl/config.py names).

@@ -105,6 +105,7 @@ class OnPolicyRunner:
         self._rollout_chunk_jit = jax.jit(self._rollout_chunk)
       if cfg.epoch_chunk:
         self._epoch_step_jit = jax.jit(self._epoch_step)
+      self._packed_rollout = None  # built lazily (needs rollout buffers)
       self._prep_update_jit = jax.jit(self._prep_update)
       self._mb_core = make_minibatch_step(
         cfg.algorithm, self._policy_apply, self.optimizer
@@ -237,17 +238,57 @@ class OnPolicyRunner:
       )
     batch, extras = self._rollout_buffers
     k = max(1, cfg.rollout_chunk)
-    t = 0
-    while t + k <= T and k > 1:
-      carry, batch, extras = self._rollout_chunk_jit(
-        carry, keys[t : t + k], batch, extras, jnp.uint32(t)
-      )
-      t += k
-    while t < T:
-      carry, batch, extras = self._rollout_accum_jit(
-        carry, keys[t], batch, extras, jnp.uint32(t)
-      )
-      t += 1
+    if cfg.packed_hostloop:
+      # Flat-buffer boundary: (carry, batch, extras) cross each accum call
+      # as a few dtype buffers instead of ~150 leaves (utils/packing.py).
+      if self._packed_rollout is None:
+        from mjlab_tpu.utils.packing import build_packer
+
+        pack, unpack = build_packer(
+          (carry, batch, extras), big_threshold=256 * self.env.num_envs
+        )
+
+        def accum_packed(packed, key, t):
+          c, b, e = unpack(packed)
+          c, b, e = self._rollout_step_accum(c, key, b, e, t)
+          return pack((c, b, e))
+
+        def chunk_packed(packed, keys_k, t0):
+          c, b, e = unpack(packed)
+          for i in range(k):
+            c, b, e = self._rollout_step_accum(
+              c, keys_k[i], b, e, t0 + jnp.uint32(i)
+            )
+          return pack((c, b, e))
+
+        self._packed_rollout = (
+          jax.jit(pack),
+          jax.jit(unpack),
+          jax.jit(accum_packed, donate_argnums=(0,)),
+          jax.jit(chunk_packed, donate_argnums=(0,)) if k > 1 else None,
+        )
+      pack_j, unpack_j, accum_j, chunk_j = self._packed_rollout
+      packed = pack_j((carry, batch, extras))
+      t = 0
+      while chunk_j is not None and t + k <= T:
+        packed = chunk_j(packed, keys[t : t + k], jnp.uint32(t))
+        t += k
+      while t < T:
+        packed = accum_j(packed, keys[t], jnp.uint32(t))
+        t += 1
+      carry, batch, extras = unpack_j(packed)
+    else:
+      t = 0
+      while t + k <= T and k > 1:
+        carry, batch, extras = self._rollout_chunk_jit(
+          carry, keys[t : t + k], batch, extras, jnp.uint32(t)
+        )
+        t += k
+      while t < T:
+        carry, batch, extras = self._rollout_accum_jit(
+          carry, keys[t], batch, extras, jnp.uint32(t)
+        )
+        t += 1
 
     # PPO update as a host loop of per-minibatch jitted steps (the fused
     # ppo_update's epoch/minibatch scans hit the same relay slow path as

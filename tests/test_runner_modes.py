@@ -10,7 +10,8 @@ from tests.test_env_smoke import make_env
 
 
 def _runner(fused: bool, rollout_chunk: int = 1, epoch_chunk: bool = False,
-            epochs: int = 1, minibatches: int = 1):
+            epochs: int = 1, minibatches: int = 1,
+            packed_hostloop: bool = False):
   env = make_env(num_envs=4, seed=3)
   cfg = RlOnPolicyRunnerCfg(
     seed=0,
@@ -18,6 +19,7 @@ def _runner(fused: bool, rollout_chunk: int = 1, epoch_chunk: bool = False,
     fused_rollout=fused,
     rollout_chunk=rollout_chunk,
     epoch_chunk=epoch_chunk,
+    packed_hostloop=packed_hostloop,
     policy=PpoActorCriticCfg(
       actor_hidden_dims=(16, 16),
       critic_hidden_dims=(16, 16),
@@ -55,6 +57,27 @@ def test_hostloop_matches_fused():
   np.testing.assert_allclose(
     np.asarray(sf.env_state.data.qpos),
     np.asarray(sh.env_state.data.qpos),
+    rtol=1e-6,
+  )
+
+
+def test_packed_hostloop_matches_unpacked():
+  """packed_hostloop (flat-buffer rollout carry) must be math-identical,
+  including composed with rollout_chunk."""
+  base = _runner(fused=False)
+  packed = _runner(fused=False, packed_hostloop=True, rollout_chunk=2)
+
+  sb, mb = base._train_iter(base.state)
+  sp, mp = packed._train_iter(packed.state)
+
+  for k in mb:
+    np.testing.assert_allclose(
+      np.asarray(mb[k]), np.asarray(mp[k]), rtol=1e-4, atol=1e-6,
+      err_msg=f"metric {k} diverged between packed and unpacked",
+    )
+  np.testing.assert_allclose(
+    np.asarray(sb.env_state.data.qpos),
+    np.asarray(sp.env_state.data.qpos),
     rtol=1e-6,
   )
 
