@@ -1,0 +1,81 @@
+"""Executes the CartPole tutorial from docs/CREATE_NEW_TASK.md verbatim.
+
+Every ```python block in the guide is exec'd in order in one namespace,
+then the resulting task is built, stepped, and trained for two PPO
+iterations — the documented user path must actually work."""
+
+import re
+from pathlib import Path
+
+import jax
+import numpy as np
+import pytest
+
+DOC = Path(__file__).resolve().parent.parent / "docs" / "CREATE_NEW_TASK.md"
+
+
+def _doc_code_blocks():
+  text = DOC.read_text()
+  return re.findall(r"```python\n(.*?)```", text, flags=re.DOTALL)
+
+
+@pytest.fixture(scope="module")
+def tutorial_ns():
+  ns: dict = {}
+  blocks = _doc_code_blocks()
+  assert len(blocks) >= 6, "tutorial lost its code blocks"
+  for i, block in enumerate(blocks):
+    if "OnPolicyRunner(env" in block:
+      continue  # the full-scale training snippet; the test trains below
+    try:
+      exec(compile(block, f"{DOC.name}[block {i}]", "exec"), ns)
+    except Exception as e:  # pragma: no cover
+      raise AssertionError(f"tutorial block {i} failed: {e}\n{block}") from e
+  return ns
+
+
+def test_tutorial_env_builds_and_steps(tutorial_ns):
+  import gymnasium as gym
+
+  cfg = tutorial_ns["create_cartpole_env_cfg"](num_envs=4)
+  env = gym.make("Mjlab-Cartpole", cfg=cfg).unwrapped
+  obs, _ = env.reset(seed=0)
+  assert obs["policy"].shape == (4, 4)  # angle(1) + cart_pos(1) + joint_vel(2)
+
+  act = 0.1 * jax.random.normal(
+    jax.random.key(0), (4, env.action_manager.total_action_dim),
+    dtype=env.dtype,
+  )
+  for _ in range(10):
+    obs, rew, term, trunc, info = env.step(act)
+  assert np.isfinite(np.asarray(obs["policy"])).all()
+  assert np.isfinite(np.asarray(rew)).all()
+  # Upright pole at start → positive reward dominated by the cos term.
+  assert float(np.asarray(rew).mean()) > 0.0
+  env.close()
+
+
+def test_tutorial_trains_two_iterations(tutorial_ns):
+  from mjlab_tpu.envs import ManagerBasedRlEnv
+  from mjlab_tpu.rl import (
+    PpoActorCriticCfg,
+    PpoAlgorithmCfg,
+    RlOnPolicyRunnerCfg,
+  )
+  from mjlab_tpu.rl.runner import OnPolicyRunner
+
+  cfg = tutorial_ns["create_cartpole_env_cfg"](num_envs=4)
+  env = ManagerBasedRlEnv(cfg)
+  rl_cfg = RlOnPolicyRunnerCfg(
+    seed=0,
+    num_steps_per_env=4,
+    policy=PpoActorCriticCfg(
+      actor_hidden_dims=(16, 16), critic_hidden_dims=(16, 16)
+    ),
+    algorithm=PpoAlgorithmCfg(num_learning_epochs=1, num_mini_batches=1),
+  )
+  runner = OnPolicyRunner(env, rl_cfg)
+  state = runner.state
+  for _ in range(2):
+    state, metrics = runner._train_iter(state)
+  assert np.isfinite(float(metrics["Loss/loss"]))
