@@ -122,6 +122,15 @@ def kinematics(tp: Topology, m: Model, d: Data) -> Data:
       xpos = xpos.at[ids].set(pos)
       xquat = xquat.at[ids].set(quat)
 
+  # Mocap bodies: frame driven directly by mocap_pos/quat (mj_kinematics;
+  # mocap bodies are static children of world, so no descendant has been
+  # computed from the pre-override frame).
+  mocap_ids = np.nonzero(tp.body_mocapid >= 0)[0]
+  if len(mocap_ids):
+    mid = tp.body_mocapid[mocap_ids]
+    xpos = xpos.at[mocap_ids].set(d.mocap_pos[mid])
+    xquat = xquat.at[mocap_ids].set(mt.quat_normalize(d.mocap_quat[mid]))
+
   xmat = mt.quat_to_mat(xquat)
   bid = tp.geom_bodyid
   xipos = xpos + mt.quat_apply(xquat, m.body_ipos)
