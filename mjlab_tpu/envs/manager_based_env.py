@@ -62,7 +62,7 @@ class EnvState:
 # variant anyway (0.32 vs n/a ms/step; docs/PERF_NOTES.md). They also keep
 # contacts/mass-matrix readable from host code after a step.
 _DATA_STATE_FIELDS = (
-  "time", "qpos", "qvel", "ctrl", "qfrc_applied", "xfrc_applied",
+  "time", "qpos", "qvel", "act", "ctrl", "qfrc_applied", "xfrc_applied",
   "mocap_pos", "mocap_quat", "qacc_warmstart", "qacc", "sensordata",
   "contact", "qM", "efc_J",
 )

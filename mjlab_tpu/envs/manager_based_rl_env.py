@@ -157,6 +157,11 @@ class ManagerBasedRlEnv(ManagerBasedEnv, gym.Env):
     """Reset masked envs in-trace (reference _reset_idx ordering,
     manager_based_rl_env.py:210-245)."""
     self.curriculum_manager.compute(env_mask=mask)
+    if self.sim.tp.na:
+      # Activation state resets with the env (mj_resetData zeros act).
+      self._data = self._data.replace(
+        act=jnp.where(mask[:, None], jnp.zeros((), self.dtype), self._data.act)
+      )
     self.scene.reset(mask)
     if "reset" in self.event_manager.available_modes:
       self.event_manager.apply(

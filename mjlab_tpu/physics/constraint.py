@@ -260,12 +260,20 @@ def make_constraint(tp: Topology, m: Model, d: Data) -> Data:
 
     for e in np.nonzero(tp.eq_active0)[0]:
       et = int(tp.eq_type[e])
+      is_site = int(tp.eq_objtype[e]) == int(_mj.mjtObj.mjOBJ_SITE)
       if et == int(_mj.mjtEq.mjEQ_CONNECT):
-        b1, b2 = int(tp.eq_obj1id[e]), int(tp.eq_obj2id[e])
-        a1 = m.eq_data[e, 0:3].astype(dtype)
-        a2 = m.eq_data[e, 3:6].astype(dtype)
-        p1 = d.xpos[b1] + d.xmat[b1] @ a1
-        p2 = d.xpos[b2] + d.xmat[b2] @ a2
+        if is_site:
+          # Site semantics: the two site points coincide; eq_data unused.
+          s1, s2 = int(tp.eq_obj1id[e]), int(tp.eq_obj2id[e])
+          b1, b2 = int(tp.site_bodyid[s1]), int(tp.site_bodyid[s2])
+          p1 = d.site_xpos[s1]
+          p2 = d.site_xpos[s2]
+        else:
+          b1, b2 = int(tp.eq_obj1id[e]), int(tp.eq_obj2id[e])
+          a1 = m.eq_data[e, 0:3].astype(dtype)
+          a2 = m.eq_data[e, 3:6].astype(dtype)
+          p1 = d.xpos[b1] + d.xmat[b1] @ a1
+          p2 = d.xpos[b2] + d.xmat[b2] @ a2
         J = _point_jac(b1, p1) - _point_jac(b2, p2)  # (3, nv)
         pos = p1 - p2
         jd = _point_jdot_qdot(b1, p1) - _point_jdot_qdot(b2, p2)
@@ -334,25 +342,41 @@ def make_constraint(tp: Topology, m: Model, d: Data) -> Data:
         iw = jnp.broadcast_to(jnp.asarray(iw_val, dtype=dtype), (1,))
         nrows = 1
       elif et == int(_mj.mjtEq.mjEQ_WELD):
-        b1, b2 = int(tp.eq_obj1id[e]), int(tp.eq_obj2id[e])
-        anchor = m.eq_data[e, 0:3].astype(dtype)  # in body2 frame
-        relpose = m.eq_data[e, 3:6].astype(dtype)  # body1 pos of body2
-        relquat = m.eq_data[e, 6:10].astype(dtype)  # body1 quat of body2
         torquescale = m.eq_data[e, 10].astype(dtype)
-        # Position residual: body2's anchor (in body2 frame) vs the target
-        # point fixed in body1 at relpose_pos — mujoco stores the anchor
-        # offset already folded into relpose (probed; mj_instantiateEquality
-        # weld semantics, MJX eq_weld equivalent).
-        p2 = d.xpos[b2] + d.xmat[b2] @ anchor
-        p1 = d.xpos[b1] + d.xmat[b1] @ relpose
+        if is_site:
+          # Site semantics: weld the two site frames (positions coincide,
+          # orientations match through the constant site offsets);
+          # eq_data[0:10] unused. The rotational closed form below carries
+          # over because a site frame has the same world angular velocity
+          # as its body — only q_ref/q_fol gain constant right-offsets.
+          s1, s2 = int(tp.eq_obj1id[e]), int(tp.eq_obj2id[e])
+          b1, b2 = int(tp.site_bodyid[s1]), int(tp.site_bodyid[s2])
+          p1 = d.site_xpos[s1]
+          p2 = d.site_xpos[s2]
+          off1 = mt.quat_normalize(m.site_quat[s1].astype(dtype))
+          off2 = mt.quat_normalize(m.site_quat[s2].astype(dtype))
+        else:
+          b1, b2 = int(tp.eq_obj1id[e]), int(tp.eq_obj2id[e])
+          anchor = m.eq_data[e, 0:3].astype(dtype)  # in body2 frame
+          relpose = m.eq_data[e, 3:6].astype(dtype)  # body1 pos of body2
+          relquat = m.eq_data[e, 6:10].astype(dtype)  # body1 quat of body2
+          # Position residual: body2's anchor (in body2 frame) vs the target
+          # point fixed in body1 at relpose_pos — mujoco stores the anchor
+          # offset already folded into relpose (probed; mj_instantiateEquality
+          # weld semantics, MJX eq_weld equivalent).
+          p2 = d.xpos[b2] + d.xmat[b2] @ anchor
+          p1 = d.xpos[b1] + d.xmat[b1] @ relpose
+          off1 = mt.quat_normalize(relquat)
+          off2 = None
         Jp = _point_jac(b1, p1) - _point_jac(b2, p2)
         pos_p = p1 - p2
-        # Orientation residual: vector part of q_err = conj(q1·relquat)·q2,
+        # Orientation residual: vector part of q_err = conj(q1·off1)·(q2·off2),
         # scaled by torquescale.
         q1q = d.xquat[b1]
         q2q = d.xquat[b2]
-        q_ref = mt.quat_mul(q1q, mt.quat_normalize(relquat))
-        q_err = mt.quat_mul(mt.quat_conjugate(q_ref), q2q)
+        q_ref = mt.quat_mul(q1q, off1)
+        q_fol = q2q if off2 is None else mt.quat_mul(q2q, off2)
+        q_err = mt.quat_mul(mt.quat_conjugate(q_ref), q_fol)
         pos_r = -torquescale * q_err[1:]  # mujoco sign: body1 − body2
         # Rotational Jacobian: dvec(q_err)/dqvel. With ω_rel the world-frame
         # relative angular velocity (body2 − body1), expressed in the q_ref
@@ -377,10 +401,11 @@ def make_constraint(tp: Topology, m: Model, d: Data) -> Data:
         jd_p = _point_jdot_qdot(b1, p1) - _point_jdot_qdot(b2, p2)
         from mjlab_tpu.physics import kinematics as _kin
 
-        def _rot_res(qp, _b1=b1, _b2=b2, _rq=relquat, _ts=torquescale):
+        def _rot_res(qp, _b1=b1, _b2=b2, _o1=off1, _o2=off2, _ts=torquescale):
           dk = _kin.kinematics(tp, m, d.replace(qpos=qp))
-          qr = mt.quat_mul(dk.xquat[_b1], mt.quat_normalize(_rq))
-          qe = mt.quat_mul(mt.quat_conjugate(qr), dk.xquat[_b2])
+          qr = mt.quat_mul(dk.xquat[_b1], _o1)
+          qf = dk.xquat[_b2] if _o2 is None else mt.quat_mul(dk.xquat[_b2], _o2)
+          qe = mt.quat_mul(mt.quat_conjugate(qr), qf)
           return -_ts * qe[1:]
 
         def _qdot(qp):

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from mjlab_tpu.physics import collision as coll
 from mjlab_tpu.physics import constraint, kinematics, sensors, smooth, solver
@@ -64,6 +65,25 @@ def _implicit_matrix(tp: Topology, m: Model, d: Data) -> jax.Array:
   return d.qM + jnp.diag(diag)
 
 
+def _advance_act(tp: Topology, m: Model, d: Data) -> jax.Array:
+  """mj_advance activation update: explicit Euler for integrator/filter,
+  exact exponential for filterexact, then actrange clamping."""
+  src = tp.act_actuator
+  dyn = tp.actuator_dyntype[src]
+  h = m.opt.timestep
+  tau = jnp.maximum(m.actuator_dynprm[src, 0], 1e-15)
+  lin = d.act + h * d.act_dot
+  # act_dot = (ctrl - act)/tau  ⇒  act + act_dot·tau·(1−e^{−h/τ}) is the
+  # exact solution of the first-order filter over one step.
+  exact = d.act + d.act_dot * tau * -jnp.expm1(-h / tau)
+  act = jnp.where(jnp.asarray(dyn == 3), exact, lin)
+  limited = np.asarray(tp.actuator_actlimited[src].astype(bool))
+  clamped = jnp.clip(
+    act, m.actuator_actrange[src, 0], m.actuator_actrange[src, 1]
+  )
+  return jnp.where(jnp.asarray(limited), clamped, act)
+
+
 def integrate(tp: Topology, m: Model, d: Data) -> Data:
   """Semi-implicit Euler / implicitfast position-velocity update."""
   h = m.opt.timestep
@@ -74,7 +94,8 @@ def integrate(tp: Topology, m: Model, d: Data) -> Data:
   qacc_int = jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
   qvel = d.qvel + h * qacc_int
   qpos = kinematics.integrate_pos(tp, m, d.qpos, qvel, h)
-  return d.replace(qpos=qpos, qvel=qvel, time=d.time + h)
+  act = _advance_act(tp, m, d) if tp.na > 0 else d.act
+  return d.replace(qpos=qpos, qvel=qvel, act=act, time=d.time + h)
 
 
 def step(tp: Topology, m: Model, d: Data) -> Data:

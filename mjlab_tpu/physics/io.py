@@ -423,10 +423,13 @@ def put_model(
     raise NotImplementedError(f"Integrator {m.opt.integrator} not supported.")
   # Guard against silently mis-simulated features: anything the engine
   # does not model must be rejected at conversion, not ignored.
-  if float(m.opt.viscosity) or float(m.opt.density) or np.any(m.opt.wind):
-    raise NotImplementedError(
-      "fluid forces (opt.viscosity/density/wind) are not supported"
-    )
+  has_fluid = bool(
+    float(m.opt.viscosity) or float(m.opt.density) or np.any(m.opt.wind)
+  )
+  if has_fluid and np.any(m.geom_fluid[:, 0]):
+    # Per-geom ellipsoid fluid interaction; only the body-level
+    # inertia-box model (MuJoCo's default) is implemented.
+    raise NotImplementedError("fluidshape='ellipsoid' geoms are not supported")
   if int(m.opt.noslip_iterations) > 0:
     raise NotImplementedError("noslip post-solver is not supported")
   for u in range(m.nu):
@@ -440,11 +443,21 @@ def put_model(
       int(mujoco.mjtBias.mjBIAS_AFFINE),
     ):
       raise NotImplementedError(f"actuator {u}: muscle bias is not supported")
-    if int(m.actuator_dyntype[u]) != int(mujoco.mjtDyn.mjDYN_NONE):
+    if int(m.actuator_dyntype[u]) not in (
+      int(mujoco.mjtDyn.mjDYN_NONE),
+      int(mujoco.mjtDyn.mjDYN_INTEGRATOR),
+      int(mujoco.mjtDyn.mjDYN_FILTER),
+      int(mujoco.mjtDyn.mjDYN_FILTEREXACT),
+    ):
       raise NotImplementedError(
         f"actuator {u}: activation dynamics (dyntype "
-        f"{int(m.actuator_dyntype[u])}) are not supported"
+        f"{int(m.actuator_dyntype[u])}) are not supported "
+        "(integrator/filter/filterexact only)"
       )
+    if int(m.actuator_dyntype[u]) != int(mujoco.mjtDyn.mjDYN_NONE) and (
+      int(m.actuator_actnum[u]) != 1
+    ):
+      raise NotImplementedError(f"actuator {u}: actnum != 1")
 
   cone = int(m.opt.cone)
   solver = int(m.opt.solver)
@@ -503,8 +516,11 @@ def put_model(
     if et not in _EQ_ROWS:
       raise NotImplementedError(f"equality constraint type {et} not supported")
     if et in (int(mujoco.mjtEq.mjEQ_CONNECT), int(mujoco.mjtEq.mjEQ_WELD)):
-      if int(m.eq_objtype[e]) != int(mujoco.mjtObj.mjOBJ_BODY):
-        raise NotImplementedError("site-based connect/weld equalities")
+      if int(m.eq_objtype[e]) not in (
+        int(mujoco.mjtObj.mjOBJ_BODY),
+        int(mujoco.mjtObj.mjOBJ_SITE),
+      ):
+        raise NotImplementedError("connect/weld objtype must be body or site")
     if et == int(mujoco.mjtEq.mjEQ_TENDON):
       t1, t2 = int(m.eq_obj1id[e]), int(m.eq_obj2id[e])
       if not _is_fixed_tendon(t1) or (t2 >= 0 and not _is_fixed_tendon(t2)):
@@ -584,6 +600,7 @@ def put_model(
     geom_dataid=m.geom_dataid.copy(),
     geom_hulls=geom_hulls,
     body_gravcomp_host=m.body_gravcomp.copy(),
+    has_fluid=has_fluid,
     site_bodyid=m.site_bodyid.copy(),
     site_type=m.site_type.copy(),
     site_size=m.site_size.copy(),
@@ -600,6 +617,14 @@ def put_model(
     actuator_biastype=m.actuator_biastype.copy(),
     actuator_ctrllimited=m.actuator_ctrllimited.copy(),
     actuator_forcelimited=m.actuator_forcelimited.copy(),
+    na=int(m.na),
+    actuator_dyntype=m.actuator_dyntype.copy(),
+    actuator_actadr=m.actuator_actadr.copy(),
+    actuator_actlimited=m.actuator_actlimited.copy(),
+    actuator_actearly=m.actuator_actearly.copy(),
+    act_actuator=np.array(
+      [u for u in range(m.nu) if m.actuator_actadr[u] >= 0], dtype=np.int32
+    ),
     sensor_type=m.sensor_type.copy(),
     sensor_datatype=m.sensor_datatype.copy(),
     sensor_objtype=m.sensor_objtype.copy(),
@@ -618,6 +643,7 @@ def put_model(
     eq_type=m.eq_type.copy(),
     eq_obj1id=m.eq_obj1id.copy(),
     eq_obj2id=m.eq_obj2id.copy(),
+    eq_objtype=m.eq_objtype.copy(),
     eq_active0=m.eq_active0.copy().astype(bool),
     neq_rows=neq_rows,
     pairs=pairs,
@@ -646,6 +672,9 @@ def put_model(
     impratio=arr(m.opt.impratio),
     tolerance=arr(m.opt.tolerance),
     ls_tolerance=arr(m.opt.ls_tolerance),
+    density=arr(m.opt.density),
+    viscosity=arr(m.opt.viscosity),
+    wind=arr(m.opt.wind),
     integrator=integrator,
     cone=cone,
     solver=solver,
@@ -695,6 +724,8 @@ def put_model(
     actuator_gear=arr(m.actuator_gear),
     actuator_ctrlrange=arr(m.actuator_ctrlrange),
     actuator_forcerange=arr(m.actuator_forcerange),
+    actuator_dynprm=arr(m.actuator_dynprm),
+    actuator_actrange=arr(m.actuator_actrange),
     hfield_data=arr(m.hfield_data if m.nhfield else np.zeros(0)),
     hfield_size=arr(m.hfield_size if m.nhfield else np.zeros((0, 4))),
     eq_solref=arr(m.eq_solref if m.neq else np.zeros((0, 2))),
@@ -731,6 +762,7 @@ def make_data(tp: Topology, model: Model, dtype=None) -> Data:
     time=z(),
     qpos=jnp.asarray(model.qpos0, dtype=dtype),
     qvel=z(tp.nv),
+    act=z(tp.na),
     ctrl=z(tp.nu),
     qfrc_applied=z(tp.nv),
     xfrc_applied=z(tp.nbody, 6),
@@ -764,6 +796,7 @@ def make_data(tp: Topology, model: Model, dtype=None) -> Data:
     actuator_length=z(tp.nu),
     actuator_velocity=z(tp.nu),
     actuator_force=z(tp.nu),
+    act_dot=z(tp.na),
     qfrc_actuator=z(tp.nv),
     qfrc_smooth=z(tp.nv),
     qacc_smooth=z(tp.nv),

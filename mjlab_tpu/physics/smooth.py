@@ -320,11 +320,83 @@ def passive(tp: Topology, m: Model, d: Data) -> Data:
       "gvj,gj->v", jac * mask[:, :, None], f
     )
 
+  if tp.has_fluid:
+    qfrc_passive = qfrc_passive + _fluid_box(tp, m, d)
+
   return d.replace(
     qfrc_spring=qfrc_spring,
     qfrc_damper=qfrc_damper,
     qfrc_passive=qfrc_passive,
   )
+
+
+def _fluid_box(tp: Topology, m: Model, d: Data) -> jax.Array:
+  """Inertia-box fluid model (mj_inertiaBoxFluidModel, engine_passive.c):
+  per body, an equivalent box from the diagonal inertia gets linear
+  viscous drag plus quadratic density drag on the CoM velocity relative
+  to the wind, all in the inertial (ximat) frame, applied at xipos."""
+  dtype = d.qpos.dtype
+  minval = 1e-15
+  mass = jnp.maximum(m.body_mass, minval)
+  inertia = m.body_inertia  # (nbody, 3) principal, ximat frame
+  box = jnp.stack(
+    [
+      jnp.sqrt(
+        jnp.maximum(
+          minval, inertia[:, (j + 1) % 3] + inertia[:, (j + 2) % 3] - inertia[:, j]
+        )
+        / mass
+        * 6.0
+      )
+      for j in range(3)
+    ],
+    axis=-1,
+  )  # (nbody, 3)
+
+  # 6D body velocity at the CoM in the inertial frame, wind-relative.
+  origin = d.subtree_com[tp.body_rootid]
+  w_world = d.cvel[:, :3]
+  v_world = d.cvel[:, 3:] + jnp.cross(w_world, d.xipos - origin)
+  R = d.ximat  # body→world
+  lw = jnp.einsum("bji,bj->bi", R, w_world)
+  lv = jnp.einsum("bji,bj->bi", R, v_world - m.opt.wind[None].astype(dtype))
+
+  # Viscous (Stokes, sphere of mean diameter) torque/force.
+  diam = jnp.mean(box, axis=-1)
+  visc = m.opt.viscosity
+  lt = -jnp.pi * diam[:, None] ** 3 * visc * lw
+  lf = -3.0 * jnp.pi * diam[:, None] * visc * lv
+
+  # Quadratic density drag.
+  dens = m.opt.density
+  area = jnp.stack(
+    [box[:, 1] * box[:, 2], box[:, 0] * box[:, 2], box[:, 0] * box[:, 1]], axis=-1
+  )
+  lf = lf - 0.5 * dens * area * jnp.abs(lv) * lv
+  b4 = box**4
+  tscale = jnp.stack(
+    [
+      box[:, 0] * (b4[:, 1] + b4[:, 2]),
+      box[:, 1] * (b4[:, 0] + b4[:, 2]),
+      box[:, 2] * (b4[:, 0] + b4[:, 1]),
+    ],
+    axis=-1,
+  )
+  lt = lt - dens * tscale * jnp.abs(lw) * lw / 64.0
+
+  # Massless/world bodies get no fluid force (mj_fluid skips them).
+  alive = (m.body_mass >= minval) & jnp.asarray(np.arange(tp.nbody) > 0)
+  lt = jnp.where(alive[:, None], lt, jnp.zeros((), dtype))
+  lf = jnp.where(alive[:, None], lf, jnp.zeros((), dtype))
+
+  # Rotate to world and project to joint space (wrench at xipos).
+  torque = jnp.einsum("bij,bj->bi", R, lt)
+  force = jnp.einsum("bij,bj->bi", R, lf)
+  t_o = torque + jnp.cross(d.xipos - origin, force)
+  fs = jnp.concatenate([t_o, force], axis=-1)  # (nbody, 6)
+  contrib = fs @ d.cdof.T  # (nbody, nv)
+  mask = jnp.asarray(tp.body_dof_mask, dtype=dtype)
+  return jnp.sum(contrib * mask, axis=0)
 
 
 def transmission(tp: Topology, m: Model, d: Data) -> tuple[jax.Array, jax.Array]:
@@ -344,7 +416,11 @@ def transmission(tp: Topology, m: Model, d: Data) -> tuple[jax.Array, jax.Array]
 
 
 def fwd_actuation(tp: Topology, m: Model, d: Data) -> Data:
-  """Actuator forces: fixed gain + affine bias (PD position actuators etc.)."""
+  """Actuator forces: fixed gain + affine bias (PD position actuators etc.).
+
+  Stateful actuators (dyntype integrator/filter/filterexact) drive the gain
+  from their activation `act` instead of ctrl and emit `act_dot`
+  (mj_fwdActuation semantics); `act` advances in forward.integrate."""
   dtype = d.qpos.dtype
   if tp.nu == 0:
     return d.replace(qfrc_actuator=jnp.zeros(tp.nv, dtype=dtype))
@@ -356,13 +432,33 @@ def fwd_actuation(tp: Topology, m: Model, d: Data) -> Data:
   clamped = jnp.clip(ctrl, m.actuator_ctrlrange[:, 0], m.actuator_ctrlrange[:, 1])
   ctrl = jnp.where(limited, clamped, ctrl)
 
+  act_dot = d.act_dot
+  if tp.na > 0:
+    dyn = tp.actuator_dyntype  # mjtDyn: 1=integrator, 2=filter, 3=filterexact
+    stateful = np.asarray(dyn != 0)
+    act_u = d.act[np.where(stateful, tp.actuator_actadr, 0)]
+    tau = jnp.maximum(m.actuator_dynprm[:, 0], 1e-15)
+    act_dot_u = jnp.where(jnp.asarray(dyn == 1), ctrl, (ctrl - act_u) / tau)
+    act_dot_u = jnp.where(jnp.asarray(stateful), act_dot_u, jnp.zeros((), dtype))
+    # actearly: force uses the NEXT activation (mj_nextActivation).
+    h = m.opt.timestep
+    nxt_lin = act_u + h * act_dot_u
+    nxt_exact = act_u + act_dot_u * tau * -jnp.expm1(-h / tau)
+    nxt = jnp.where(jnp.asarray(dyn == 3), nxt_exact, nxt_lin)
+    early = jnp.asarray(tp.actuator_actearly.astype(bool))
+    act_in = jnp.where(early, nxt, act_u)
+    inp = jnp.where(jnp.asarray(stateful), act_in, ctrl)
+    act_dot = act_dot_u[tp.act_actuator]
+  else:
+    inp = ctrl
+
   gain = m.actuator_gainprm[:, 0]  # mjGAIN_FIXED
   bias = (
     m.actuator_biasprm[:, 0]
     + m.actuator_biasprm[:, 1] * length
     + m.actuator_biasprm[:, 2] * velocity
   )
-  force = gain * ctrl + bias
+  force = gain * inp + bias
   flimited = jnp.asarray(tp.actuator_forcelimited.astype(bool))
   fclamped = jnp.clip(force, m.actuator_forcerange[:, 0], m.actuator_forcerange[:, 1])
   force = jnp.where(flimited, fclamped, force)
@@ -373,6 +469,7 @@ def fwd_actuation(tp: Topology, m: Model, d: Data) -> Data:
     actuator_length=length,
     actuator_velocity=velocity,
     actuator_force=force,
+    act_dot=act_dot,
     qfrc_actuator=qfrc_actuator,
   )
 

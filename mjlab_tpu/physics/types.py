@@ -125,6 +125,9 @@ class Topology:
   # Static gravcomp selector (host copy; the traced value lives in
   # Model.body_gravcomp so it stays DR-able).
   body_gravcomp_host: np.ndarray
+  # Whether the model has a fluid medium (opt.density/viscosity/wind);
+  # static so fluid-free models trace no fluid code.
+  has_fluid: bool
 
   # Sites.
   site_bodyid: np.ndarray
@@ -150,6 +153,14 @@ class Topology:
   actuator_biastype: np.ndarray
   actuator_ctrllimited: np.ndarray
   actuator_forcelimited: np.ndarray
+  # Activation dynamics (dyntype integrator/filter/filterexact; one act
+  # slot per stateful actuator — mj_fwdActuation/mj_advance semantics).
+  na: int
+  actuator_dyntype: np.ndarray  # (nu,) mjtDyn
+  actuator_actadr: np.ndarray  # (nu,) act slot or -1 if stateless
+  actuator_actlimited: np.ndarray  # (nu,)
+  actuator_actearly: np.ndarray  # (nu,)
+  act_actuator: np.ndarray  # (na,) source actuator of each act slot
 
   # Sensors.
   sensor_type: np.ndarray
@@ -175,6 +186,7 @@ class Topology:
   eq_type: np.ndarray  # (neq,) mjtEq
   eq_obj1id: np.ndarray  # (neq,)
   eq_obj2id: np.ndarray  # (neq,)
+  eq_objtype: np.ndarray  # (neq,) mjtObj (BODY or SITE for connect/weld)
   eq_active0: np.ndarray  # (neq,) bool
   neq_rows: int  # total equality efc rows
 
@@ -224,6 +236,11 @@ class Option:
   impratio: jax.Array
   tolerance: jax.Array
   ls_tolerance: jax.Array
+  # Fluid medium (inertia-box model; zero-cost when Topology.has_fluid
+  # is False — the passive-force branch is not traced at all).
+  density: jax.Array = 0.0
+  viscosity: jax.Array = 0.0
+  wind: jax.Array = dataclasses.field(default_factory=lambda: np.zeros(3))
   # Static (affect compiled program structure):
   integrator: int = struct.field(pytree_node=False, default=Integrator.EULER)
   cone: int = struct.field(pytree_node=False, default=ConeType.PYRAMIDAL)
@@ -289,6 +306,8 @@ class Model:
   actuator_gear: jax.Array
   actuator_ctrlrange: jax.Array
   actuator_forcerange: jax.Array
+  actuator_dynprm: jax.Array  # (nu, 10) activation time constants
+  actuator_actrange: jax.Array  # (nu, 2)
 
   hfield_data: jax.Array  # concatenated raster data, () if no hfields
   hfield_size: jax.Array  # (nhfield, 4)
@@ -310,6 +329,9 @@ class Model:
           impratio=None,
           tolerance=None,
           ls_tolerance=None,
+          density=0 if "opt.density" in batched else None,
+          viscosity=0 if "opt.viscosity" in batched else None,
+          wind=0 if "opt.wind" in batched else None,
           integrator=self.opt.integrator,
           cone=self.opt.cone,
           iterations=self.opt.iterations,
@@ -352,6 +374,7 @@ class Data:
   time: jax.Array
   qpos: jax.Array  # (nq,)
   qvel: jax.Array  # (nv,)
+  act: jax.Array  # (na,) actuator activation state
   ctrl: jax.Array  # (nu,)
   qfrc_applied: jax.Array  # (nv,)
   xfrc_applied: jax.Array  # (nbody, 6) [force, torque] in world frame
@@ -393,6 +416,7 @@ class Data:
   actuator_length: jax.Array  # (nu,)
   actuator_velocity: jax.Array  # (nu,)
   actuator_force: jax.Array  # (nu,)
+  act_dot: jax.Array  # (na,) activation time-derivative
   qfrc_actuator: jax.Array  # (nv,)
   qfrc_smooth: jax.Array  # (nv,)
   qacc_smooth: jax.Array  # (nv,)

@@ -368,7 +368,7 @@ class OnPolicyRunner:
       "Train/mean_step_reward": jnp.mean(extras["reward_mean"]),
       "Train/resets": resets,
       "Train/mean_episode_length": jnp.sum(extras["episode_length_sum"])
-      / jnp.clip(resets.astype(jnp.float32), a_min=1.0),
+      / jnp.clip(resets.astype(jnp.float32), min=1.0),
     }
     for k, v in extras["log"].items():
       if k.startswith(("Episode_Reward/", "Episode_Termination/", "Metrics/",
@@ -412,7 +412,7 @@ class OnPolicyRunner:
       "Train/mean_step_reward": jnp.mean(extras["reward_mean"]),
       "Train/resets": resets,
       "Train/mean_episode_length": jnp.sum(extras["episode_length_sum"])
-      / jnp.clip(resets.astype(jnp.float32), a_min=1.0),
+      / jnp.clip(resets.astype(jnp.float32), min=1.0),
       "Policy/noise_std": jnp.mean(
         train.params["params"]["std_param"]
         if "std_param" in train.params["params"]

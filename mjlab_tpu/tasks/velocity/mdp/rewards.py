@@ -118,7 +118,7 @@ def feet_air_time(
   reward = jnp.sum(in_range.astype(env.dtype), axis=1)
   in_air = (air > 0).astype(env.dtype)
   env.step_log["Metrics/air_time_mean"] = jnp.sum(air * in_air) / jnp.clip(
-    jnp.sum(in_air), a_min=1
+    jnp.sum(in_air), min=1
   )
   if command_name is not None:
     reward = reward * _command_activation(env, command_name, command_threshold)
@@ -178,7 +178,7 @@ class feet_swing_height(ManagerTermBase):
     fc = first_contact.astype(env.dtype)
     cost = jnp.sum(jnp.square(error) * fc, axis=1) * active
     env.step_log["Metrics/peak_height_mean"] = jnp.sum(peaks * fc) / jnp.clip(
-      jnp.sum(fc), a_min=1
+      jnp.sum(fc), min=1
     )
     self.state["peak_heights"] = jnp.where(first_contact, 0.0, peaks)
     return cost
@@ -201,7 +201,7 @@ def feet_slip(
   cost = jnp.sum(jnp.square(vel_norm) * in_contact, axis=1) * active
   env.step_log["Metrics/slip_velocity_mean"] = jnp.sum(
     vel_norm * in_contact
-  ) / jnp.clip(jnp.sum(in_contact), a_min=1)
+  ) / jnp.clip(jnp.sum(in_contact), min=1)
   return cost
 
 
@@ -218,7 +218,7 @@ def soft_landing(
   landing_impact = force_mag * fc
   cost = jnp.sum(landing_impact, axis=1)
   env.step_log["Metrics/landing_force_mean"] = jnp.sum(landing_impact) / jnp.clip(
-    jnp.sum(fc), a_min=1
+    jnp.sum(fc), min=1
   )
   if command_name is not None:
     cost = cost * _command_activation(env, command_name, command_threshold)

@@ -80,6 +80,47 @@ SCENES = {
     200,
     1e-7,
   ),
+  "connect_sites": (
+    """
+<mujoco><option timestep="0.002"/>
+  <worldbody>
+    <body name="a" pos="0 0 1"><joint name="ja" type="hinge" axis="0 1 0"/>
+      <geom type="capsule" fromto="0 0 0 0.4 0 0" size="0.03" density="800"
+            contype="0" conaffinity="0"/>
+      <site name="s1" pos="0.4 0 0.05"/></body>
+    <body name="b" pos="0.8 0 1"><joint name="jb" type="hinge" axis="0 1 0"/>
+      <geom type="capsule" fromto="0 0 0 -0.4 0 0" size="0.03" density="800"
+            contype="0" conaffinity="0"/>
+      <site name="s2" pos="-0.4 0 -0.02"/></body>
+  </worldbody>
+  <equality><connect site1="s1" site2="s2"/></equality>
+</mujoco>""",
+    [0.8, -0.5],
+    200,
+    1e-7,
+  ),
+  "weld_sites": (
+    # Sites coincide at t=0 (body-b placement compensates the offsets) so
+    # the weld starts satisfied — unlike body welds, site welds get no
+    # compile-time relpose folding, and a violently-violated stiff weld is
+    # a regime where even MuJoCo's own Newton is iteration-dependent
+    # (probed: both solvers sit ~20× above the exact QP optimum there).
+    """
+<mujoco><option timestep="0.002"/>
+  <worldbody>
+    <body name="a" pos="0 0 1"><freejoint/>
+      <geom type="box" size="0.1 0.1 0.1" density="600"/>
+      <site name="s1" pos="0.12 0 0.03" quat="0.92 0.2 0.33 0"/></body>
+    <body name="b" pos="0.21 -0.02 1.03"><freejoint/>
+      <geom type="box" size="0.08 0.08 0.08" density="600"/>
+      <site name="s2" pos="-0.09 0.02 0" quat="0.92 0.2 0.33 0"/></body>
+  </worldbody>
+  <equality><weld site1="s1" site2="s2" torquescale="0.6"/></equality>
+</mujoco>""",
+    [0.3, -0.2, 0.4, 0.5, -0.6, 0.2, -0.1, 0.3, 0.1, -0.4, 0.2, 0.6],
+    150,
+    1e-6,
+  ),
   "connect_with_contact": (
     """
 <mujoco><option timestep="0.002"/>
@@ -157,17 +198,14 @@ def test_unsupported_model_features_rejected():
   """Conversion must refuse features the engine does not model (silent
   mis-simulation guard, io.put_model)."""
   cases = {
-    "fluid": '<mujoco><option viscosity="0.1"/><worldbody><body pos="0 0 1">'
-             '<freejoint/><geom type="sphere" size="0.1"/></body>'
-             '</worldbody></mujoco>',
     "noslip": '<mujoco><option noslip_iterations="3"/><worldbody>'
               '<body pos="0 0 1"><freejoint/><geom type="sphere" size="0.1"/>'
               '</body></worldbody></mujoco>',
-    "actdyn": '<mujoco><worldbody><body pos="0 0 1">'
-              '<joint name="j" type="hinge"/>'
+    "muscle": '<mujoco><worldbody><body pos="0 0 1">'
+              '<joint name="j" type="hinge" range="0 1.5" limited="true"/>'
               '<geom type="capsule" fromto="0 0 0 0.3 0 0" size="0.03"/>'
               '</body></worldbody><actuator>'
-              '<general joint="j" dyntype="filter" dynprm="0.1"/>'
+              '<muscle joint="j"/>'
               '</actuator></mujoco>',
   }
   for name, xml in cases.items():
