@@ -28,6 +28,16 @@ from mjlab_tpu.rl.networks import (
 from mjlab_tpu.rl.ppo import PpoTrainState, Transition, make_optimizer, ppo_update
 
 
+def _mean_noise_std(params) -> jax.Array:
+  """Mean policy stddev for logging ('std' or 'log_std' ActorCritic param)."""
+  p = params["params"]
+  if "std" in p:
+    return jnp.mean(p["std"])
+  if "log_std" in p:
+    return jnp.mean(jnp.exp(p["log_std"]))
+  return jnp.zeros(())  # pragma: no cover
+
+
 @struct.dataclass
 class RunnerState:
   env_state: Any
@@ -334,11 +344,7 @@ class OnPolicyRunner:
     metrics = dict(rollout_metrics)
     for k, v in msum.items():
       metrics[f"Loss/{k}"] = v / count
-    metrics["Policy/noise_std"] = (
-      jnp.mean(params["params"]["std_param"])
-      if "std_param" in params["params"]
-      else jnp.zeros(())
-    )
+    metrics["Policy/noise_std"] = _mean_noise_std(params)
     new_state = RunnerState(
       env_state=env_state,
       obs=obs,
@@ -413,11 +419,7 @@ class OnPolicyRunner:
       "Train/resets": resets,
       "Train/mean_episode_length": jnp.sum(extras["episode_length_sum"])
       / jnp.clip(resets.astype(jnp.float32), min=1.0),
-      "Policy/noise_std": jnp.mean(
-        train.params["params"]["std_param"]
-        if "std_param" in train.params["params"]
-        else 0.0
-      ),
+      "Policy/noise_std": _mean_noise_std(train.params),
     }
     # Episodic manager logs, averaged over the rollout window.
     for k, v in extras["log"].items():

@@ -109,11 +109,14 @@ def test_ppo_learns_cartpole(tutorial_ns):
   )
   runner = OnPolicyRunner(env, rl_cfg)
   state = runner.state
-  curve = []
-  for _ in range(30):
+  eplen, std = [], []
+  for _ in range(60):
     state, metrics = runner._train_iter(state)
-    curve.append(float(metrics["Train/mean_step_reward"]))
-  early = float(np.mean(curve[:5]))
-  late = float(np.mean(curve[-5:]))
-  assert np.isfinite(curve).all()
-  assert late > early * 1.15 + 1e-3, f"no learning: early={early} late={late}"
+    eplen.append(float(metrics["Train/mean_episode_length"]))
+    std.append(float(metrics["Policy/noise_std"]))
+  early = float(np.mean(eplen[:10]))
+  late = float(np.mean(eplen[-10:]))
+  assert np.isfinite(eplen).all()
+  # Pilot curve (seed 1): eplen 36 → 300 over 60 iters, noise 0.94 → 0.44.
+  assert late > 2.0 * early, f"no learning: eplen early={early} late={late}"
+  assert std[-1] < 0.8 * std[0], f"noise std did not anneal: {std[0]} → {std[-1]}"
