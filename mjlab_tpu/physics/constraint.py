@@ -314,19 +314,18 @@ def make_constraint(tp: Topology, m: Model, d: Data) -> Data:
         iw = jnp.broadcast_to(iw_val, (1,))
         nrows = 1
       elif et == int(_mj.mjtEq.mjEQ_TENDON):
-        # Fixed-tendon coupling: L1 − L1₀ = poly(L2 − L2₀); lengths are
-        # linear in qpos (tendon_qmat) so J rides the static tendon_vmat.
+        # Tendon coupling: L1 − L1₀ = poly(L2 − L2₀); lengths/Jacobians
+        # come from Data.ten_length/ten_J (smooth.tendon), which covers
+        # fixed and spatial tendons alike.
         t1, t2 = int(tp.eq_obj1id[e]), int(tp.eq_obj2id[e])
         coef = m.eq_data[e, 0:5].astype(dtype)
-        qm1 = jnp.asarray(tp.tendon_qmat[t1], dtype=dtype)
-        vm1 = jnp.asarray(tp.tendon_vmat[t1], dtype=dtype)
-        L1 = qm1 @ d.qpos
+        L1 = d.ten_length[t1]
+        vm1 = d.ten_J[t1]
         L1_0 = float(tp.tendon_length0[t1])
         iw_val = float(tp.tendon_invweight0[t1])
         if t2 >= 0:
-          qm2 = jnp.asarray(tp.tendon_qmat[t2], dtype=dtype)
-          vm2 = jnp.asarray(tp.tendon_vmat[t2], dtype=dtype)
-          dl = qm2 @ d.qpos - float(tp.tendon_length0[t2])
+          vm2 = d.ten_J[t2]
+          dl = d.ten_length[t2] - float(tp.tendon_length0[t2])
           powers = jnp.stack([jnp.ones_like(dl), dl, dl**2, dl**3, dl**4])
           dpowers = jnp.stack(
             [jnp.zeros_like(dl), jnp.ones_like(dl), 2 * dl, 3 * dl**2,
@@ -515,6 +514,30 @@ def make_constraint(tp: Topology, m: Model, d: Data) -> Data:
       pos_parts.append(dist)
       margin_parts.append(margin)
       fl_parts.append(fl)
+
+  # 2c) Tendon limit rows (nearest side), after joint limits as in
+  # MuJoCo's efc ordering.
+  lt = tp.limited_tendon_ids
+  if len(lt):
+    L = d.ten_length[lt]
+    dist_lo = L - m.tendon_range[lt, 0]
+    dist_hi = m.tendon_range[lt, 1] - L
+    lower = dist_lo < dist_hi
+    dist = jnp.where(lower, dist_lo, dist_hi)
+    sign = jnp.where(lower, 1.0, -1.0).astype(dtype)
+    J = d.ten_J[lt] * sign[:, None]
+    margin = m.tendon_margin[lt]
+    D, aref, fl = _rows_from(
+      J, dist, margin, m.tendon_solref_lim[lt], m.tendon_solimp_lim[lt],
+      jnp.asarray(tp.tendon_invweight0[lt], dtype=dtype), d.qvel,
+      include=dist < margin,
+    )
+    J_parts.append(J)
+    D_parts.append(D)
+    aref_parts.append(aref)
+    pos_parts.append(dist)
+    margin_parts.append(margin)
+    fl_parts.append(fl)
 
   # 3) Contact rows — fully vectorized over slots.
   st = slot_tables(tp, m.opt.cone)

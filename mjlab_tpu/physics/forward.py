@@ -20,6 +20,7 @@ from mjlab_tpu.physics.types import Data, Integrator, Model, Topology
 def fwd_position(tp: Topology, m: Model, d: Data) -> Data:
   d = kinematics.kinematics(tp, m, d)
   d = smooth.com_pos(tp, m, d)
+  d = smooth.tendon(tp, m, d)
   d = smooth.crb(tp, m, d)
   d = smooth.factor_m(tp, m, d)
   d = coll.collision(tp, m, d)
@@ -62,7 +63,17 @@ def _implicit_matrix(tp: Topology, m: Model, d: Data) -> jax.Array:
     _, moment = smooth.transmission(tp, m, d)
     dfdv = -m.actuator_biasprm[:, 2]  # −b2 = kd ≥ 0 for PD actuators
     diag = diag + h * jnp.sum(dfdv[:, None] * moment * moment, axis=0)
-  return d.qM + jnp.diag(diag)
+  mat = d.qM + jnp.diag(diag)
+  if m.opt.integrator == Integrator.IMPLICITFAST and tp.ntendon > 0:
+    # Tendon damping velocity derivative −JᵀcJ (mjd_passive_vel), masked
+    # to the mass matrix's tree sparsity: MuJoCo's qDeriv shares M's
+    # sparsity pattern, so cross terms between dofs in disjoint subtrees
+    # are dropped (probed: dense JᵀcJ deviates at 1e-5/step on a tendon
+    # spanning sibling bodies; masked matches to 1e-12).
+    anc = np.asarray(tp.dof_ancestor_mask)
+    sparsity = jnp.asarray(anc | anc.T, dtype=d.qpos.dtype)
+    mat = mat + h * sparsity * ((d.ten_J.T * m.tendon_damping) @ d.ten_J)
+  return mat
 
 
 def _advance_act(tp: Topology, m: Model, d: Data) -> jax.Array:

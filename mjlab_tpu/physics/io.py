@@ -294,16 +294,45 @@ def _candidate_pairs(
   return pairs, groups
 
 
-def _transmission_matrices(m: mujoco.MjModel) -> tuple[np.ndarray, np.ndarray]:
-  """Static (nu, nq) and (nu, nv) transmission matrices.
+def _is_spatial_tendon(m: mujoco.MjModel, t: int) -> bool:
+  adr, num = int(m.tendon_adr[t]), int(m.tendon_num[t])
+  return any(
+    int(m.wrap_type[w]) != int(mujoco.mjtWrap.mjWRAP_JOINT)
+    for w in range(adr, adr + num)
+  )
+
+
+def _spatial_tendon_sites(m: mujoco.MjModel, t: int) -> list[int]:
+  """Site-id chain of a spatial tendon; geom wraps / pulleys rejected."""
+  adr, num = int(m.tendon_adr[t]), int(m.tendon_num[t])
+  sites = []
+  for w in range(adr, adr + num):
+    wt = int(m.wrap_type[w])
+    if wt != int(mujoco.mjtWrap.mjWRAP_SITE):
+      raise NotImplementedError(
+        f"spatial tendon {t}: only site-chain paths are supported "
+        f"(wrap type {wt} — geom wrapping / pulleys not implemented)"
+      )
+    sites.append(int(m.wrap_objid[w]))
+  if len(sites) < 2:
+    raise NotImplementedError(f"spatial tendon {t}: needs >= 2 sites")
+  return sites
+
+
+def _transmission_matrices(
+  m: mujoco.MjModel,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+  """Static (nu, nq) / (nu, nv) transmission matrices + dynamic map.
 
   Joint transmission: one-hot rows. Fixed-tendon transmission (e.g. the
   Asimov-toe parallel ankles, asset_zoo asimov_toe.xml tendon section):
   rows carry the per-joint tendon coefficients — tendon length is linear
-  in qpos so the moment is constant. Spatial tendons are not supported.
-  """
+  in qpos so the moment is constant. Spatial-tendon transmissions keep
+  zero static rows and are marked in the returned (nu,) tendon-id map;
+  fwd_actuation substitutes Data.ten_J rows at runtime."""
   qmat = np.zeros((m.nu, m.nq))
   vmat = np.zeros((m.nu, m.nv))
+  dyn_tendon = np.full(m.nu, -1, dtype=np.int32)
   for u in range(m.nu):
     trntype = int(m.actuator_trntype[u])
     if trntype == int(mujoco.mjtTrn.mjTRN_JOINT):
@@ -317,17 +346,18 @@ def _transmission_matrices(m: mujoco.MjModel) -> tuple[np.ndarray, np.ndarray]:
       vmat[u, m.jnt_dofadr[j]] = 1.0
     elif trntype == int(mujoco.mjtTrn.mjTRN_TENDON):
       t = int(m.actuator_trnid[u, 0])
+      if _is_spatial_tendon(m, t):
+        dyn_tendon[u] = t
+        continue
       adr, num = int(m.tendon_adr[t]), int(m.tendon_num[t])
       for w in range(adr, adr + num):
-        if int(m.wrap_type[w]) != int(mujoco.mjtWrap.mjWRAP_JOINT):
-          raise NotImplementedError("spatial tendons (fixed tendons only)")
         j = int(m.wrap_objid[w])
         coef = float(m.wrap_prm[w])
         qmat[u, m.jnt_qposadr[j]] += coef
         vmat[u, m.jnt_dofadr[j]] += coef
     else:
       raise NotImplementedError(f"actuator transmission type {trntype}")
-  return qmat, vmat
+  return qmat, vmat, dyn_tendon
 
 
 def _tendon_matrices(m: mujoco.MjModel) -> tuple[np.ndarray, np.ndarray]:
@@ -430,6 +460,10 @@ def put_model(
     # Per-geom ellipsoid fluid interaction; only the body-level
     # inertia-box model (MuJoCo's default) is implemented.
     raise NotImplementedError("fluidshape='ellipsoid' geoms are not supported")
+  if has_fluid and integrator == Integrator.IMPLICITFAST:
+    # implicit(fast) folds the fluid-drag ∂f/∂v into the integration
+    # matrix (mjd_passive_vel); that derivative is not modeled here.
+    raise NotImplementedError("fluid forces require the Euler integrator")
   if int(m.opt.noslip_iterations) > 0:
     raise NotImplementedError("noslip post-solver is not supported")
   for u in range(m.nu):
@@ -501,13 +535,6 @@ def put_model(
     int(mujoco.mjtEq.mjEQ_TENDON): 1,
   }
 
-  def _is_fixed_tendon(t: int) -> bool:
-    adr, num = int(m.tendon_adr[t]), int(m.tendon_num[t])
-    return all(
-      int(m.wrap_type[w]) == int(mujoco.mjtWrap.mjWRAP_JOINT)
-      for w in range(adr, adr + num)
-    )
-
   neq_rows = 0
   for e in range(m.neq):
     if not m.eq_active0[e]:
@@ -521,17 +548,29 @@ def put_model(
         int(mujoco.mjtObj.mjOBJ_SITE),
       ):
         raise NotImplementedError("connect/weld objtype must be body or site")
-    if et == int(mujoco.mjtEq.mjEQ_TENDON):
-      t1, t2 = int(m.eq_obj1id[e]), int(m.eq_obj2id[e])
-      if not _is_fixed_tendon(t1) or (t2 >= 0 and not _is_fixed_tendon(t2)):
-        raise NotImplementedError("spatial-tendon equality constraints")
     neq_rows += _EQ_ROWS[et]
+
+  # Tendon topology: kind, spatial site chains, range-limit rows.
+  tendon_kind = np.zeros(m.ntendon, dtype=np.int32)
+  site_chains: list[list[int]] = []
+  for t in range(m.ntendon):
+    if _is_spatial_tendon(m, t):
+      tendon_kind[t] = 1
+      site_chains.append(_spatial_tendon_sites(m, t))
+    else:
+      site_chains.append([])
+  max_w = max((len(c) for c in site_chains), default=0)
+  tendon_sites = np.full((m.ntendon, max(max_w, 1)), -1, dtype=np.int32)
+  for t, chain in enumerate(site_chains):
+    tendon_sites[t, : len(chain)] = chain
+  limited_tendons = np.nonzero(m.tendon_limited == 1)[0]
 
   nefc = (
     neq_rows
     + len(friction_dofs)
     + len(limited_joints)
     + len(limited_ball_joints)
+    + len(limited_tendons)
     + sum(p.ncon * contact_rows(p.condim, cone) for p in pairs)
     + sum(
       tg.slots * sum(contact_rows(int(c), cone) for c in tg.condim)
@@ -539,7 +578,7 @@ def put_model(
     )
   )
 
-  trn_qmat, trn_vmat = _transmission_matrices(m)
+  trn_qmat, trn_vmat, actuator_dyn_tendon = _transmission_matrices(m)
   tendon_qmat, tendon_vmat = _tendon_matrices(m)
 
   from mjlab_tpu.physics.convex import build_hull
@@ -613,6 +652,10 @@ def put_model(
     tendon_vmat=tendon_vmat,
     tendon_length0=m.tendon_length0.copy(),
     tendon_invweight0=m.tendon_invweight0.copy(),
+    tendon_kind=tendon_kind,
+    tendon_sites=tendon_sites,
+    limited_tendon_ids=limited_tendons,
+    actuator_dyn_tendon=actuator_dyn_tendon,
     actuator_gaintype=m.actuator_gaintype.copy(),
     actuator_biastype=m.actuator_biastype.copy(),
     actuator_ctrllimited=m.actuator_ctrllimited.copy(),
@@ -731,6 +774,13 @@ def put_model(
     eq_solref=arr(m.eq_solref if m.neq else np.zeros((0, 2))),
     eq_solimp=arr(m.eq_solimp if m.neq else np.zeros((0, 5))),
     eq_data=arr(m.eq_data if m.neq else np.zeros((0, 11))),
+    tendon_range=arr(m.tendon_range),
+    tendon_margin=arr(m.tendon_margin),
+    tendon_stiffness=arr(m.tendon_stiffness),
+    tendon_damping=arr(m.tendon_damping),
+    tendon_lengthspring=arr(m.tendon_lengthspring),
+    tendon_solref_lim=arr(m.tendon_solref_lim),
+    tendon_solimp_lim=arr(m.tendon_solimp_lim),
   )
   return tp, model
 
@@ -782,6 +832,9 @@ def make_data(tp: Topology, model: Model, dtype=None) -> Data:
     geom_xmat=jnp.tile(eye3, (tp.ngeom, 1, 1)),
     site_xpos=z(tp.nsite, 3),
     site_xmat=jnp.tile(eye3, (tp.nsite, 1, 1)),
+    ten_length=z(tp.ntendon),
+    ten_velocity=z(tp.ntendon),
+    ten_J=z(tp.ntendon, tp.nv),
     subtree_com=z(tp.nbody, 3),
     cinert=z(tp.nbody, 10),
     cdof=z(tp.nv, 6),

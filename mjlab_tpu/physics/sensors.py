@@ -365,11 +365,9 @@ def _eval_stage(tp: Topology, m: Model, d: Data, stage: set) -> Data:
     elif stype == _S.mjSENS_CLOCK:
       val = d.time.reshape(1)
     elif stype == _S.mjSENS_TENDONPOS:
-      val = (jnp.asarray(tp.tendon_qmat[objid], dtype=d.qpos.dtype)
-             @ d.qpos).reshape(1)
+      val = d.ten_length[objid : objid + 1]
     elif stype == _S.mjSENS_TENDONVEL:
-      val = (jnp.asarray(tp.tendon_vmat[objid], dtype=d.qpos.dtype)
-             @ d.qvel).reshape(1)
+      val = d.ten_velocity[objid : objid + 1]
     elif stype in (_S.mjSENS_JOINTLIMITPOS, _S.mjSENS_JOINTLIMITVEL,
                    _S.mjSENS_JOINTLIMITFRC):
       row = _limit_row(tp, objid)

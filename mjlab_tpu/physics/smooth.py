@@ -301,6 +301,13 @@ def passive(tp: Topology, m: Model, d: Data) -> Data:
     frc = -m.jnt_stiffness[ids] * (d.qpos[qadr] - m.qpos_spring[qadr])
     qfrc_spring = qfrc_spring.at[dadr].set(frc)
   qfrc_damper = -m.dof_damping * d.qvel
+  if tp.ntendon:
+    # Tendon springs (deadband, mj_passive) and dampers through ten_J.
+    L = d.ten_length
+    lo, up = m.tendon_lengthspring[:, 0], m.tendon_lengthspring[:, 1]
+    disp = jnp.where(L > up, up - L, jnp.where(L < lo, lo - L, jnp.zeros((), dtype)))
+    qfrc_spring = qfrc_spring + d.ten_J.T @ (m.tendon_stiffness * disp)
+    qfrc_damper = qfrc_damper - d.ten_J.T @ (m.tendon_damping * d.ten_velocity)
   qfrc_passive = qfrc_spring + qfrc_damper
 
   # Gravity compensation (mj_gravcomp): anti-gravity force
@@ -399,11 +406,48 @@ def _fluid_box(tp: Topology, m: Model, d: Data) -> jax.Array:
   return jnp.sum(contrib * mask, axis=0)
 
 
+def _site_point_jac(tp: Topology, d: Data, site: int) -> jax.Array:
+  """(nv, 3) translational Jacobian of site `site` (world frame)."""
+  b = int(tp.site_bodyid[site])
+  origin = d.subtree_com[tp.body_rootid[b]]
+  jac = d.cdof[:, 3:] + jnp.cross(d.cdof[:, :3], d.site_xpos[site][None] - origin)
+  mask = jnp.asarray(tp.body_dof_mask[b], dtype=d.qpos.dtype)
+  return jac * mask[:, None]
+
+
+def tendon(tp: Topology, m: Model, d: Data) -> Data:
+  """Tendon lengths/Jacobians (mj_tendon): fixed tendons ride their static
+  joint-coefficient maps; spatial tendons sum site-chain segment lengths,
+  with J from the segment-direction-projected site Jacobians."""
+  dtype = d.qpos.dtype
+  if tp.ntendon == 0:
+    return d
+  qmat = jnp.asarray(tp.tendon_qmat, dtype=dtype)
+  vmat = jnp.asarray(tp.tendon_vmat, dtype=dtype)
+  length = qmat @ d.qpos  # fixed rows; spatial rows are zero here
+  J = jnp.broadcast_to(vmat, (tp.ntendon, tp.nv))
+  for t in np.nonzero(tp.tendon_kind == 1)[0]:
+    sids = [int(s) for s in tp.tendon_sites[t] if s >= 0]
+    pts = d.site_xpos[np.array(sids)]  # (W, 3)
+    segs = pts[1:] - pts[:-1]
+    seg_len = jnp.linalg.norm(segs, axis=-1)
+    dirs = segs / jnp.maximum(seg_len, 1e-15)[:, None]
+    L_t = jnp.sum(seg_len)
+    row = jnp.zeros(tp.nv, dtype=dtype)
+    jacs = [_site_point_jac(tp, d, s) for s in sids]  # each (nv, 3)
+    for k in range(len(sids) - 1):
+      row = row + (jacs[k + 1] - jacs[k]) @ dirs[k]
+    length = length.at[t].set(L_t)
+    J = J.at[t].set(row)
+  return d.replace(ten_length=length, ten_J=J, ten_velocity=J @ d.qvel)
+
+
 def transmission(tp: Topology, m: Model, d: Data) -> tuple[jax.Array, jax.Array]:
   """actuator_length and the (nu, nv) moment matrix.
 
   Joint and fixed-tendon transmissions share one static-matrix form
-  (tp.trn_qmat/trn_vmat, built in io._transmission_matrices)."""
+  (tp.trn_qmat/trn_vmat, built in io._transmission_matrices); spatial-
+  tendon rows substitute the dynamic Data.ten_length/ten_J."""
   dtype = d.qpos.dtype
   if tp.nu == 0:
     return jnp.zeros(0, dtype=dtype), jnp.zeros((0, tp.nv), dtype=dtype)
@@ -412,6 +456,10 @@ def transmission(tp: Topology, m: Model, d: Data) -> tuple[jax.Array, jax.Array]
   vmat = jnp.asarray(tp.trn_vmat, dtype=dtype)
   length = gear0 * (qmat @ d.qpos)
   moment = gear0[:, None] * vmat
+  for u in np.nonzero(tp.actuator_dyn_tendon >= 0)[0]:
+    t = int(tp.actuator_dyn_tendon[u])
+    length = length.at[u].set(gear0[u] * d.ten_length[t])
+    moment = moment.at[u].set(gear0[u] * d.ten_J[t])
   return length, moment
 
 

@@ -149,6 +149,14 @@ class Topology:
   tendon_vmat: np.ndarray  # (ntendon, nv)
   tendon_length0: np.ndarray  # (ntendon,)
   tendon_invweight0: np.ndarray  # (ntendon,)
+  # Spatial tendons (site-chain paths; smooth.tendon computes dynamic
+  # length/Jacobian into Data.ten_length/ten_J each step).
+  tendon_kind: np.ndarray  # (ntendon,) 0 = fixed (joint coefs), 1 = spatial
+  tendon_sites: np.ndarray  # (ntendon, W) site-id chains, -1 padded
+  limited_tendon_ids: np.ndarray  # tendons with range limits (efc rows)
+  # Per-actuator spatial-tendon transmission (tendon id or -1): these
+  # actuator rows come from Data.ten_J instead of the static matrices.
+  actuator_dyn_tendon: np.ndarray  # (nu,)
   actuator_gaintype: np.ndarray
   actuator_biastype: np.ndarray
   actuator_ctrllimited: np.ndarray
@@ -316,6 +324,14 @@ class Model:
   eq_solimp: jax.Array  # (neq, 5)
   eq_data: jax.Array  # (neq, 11) anchors / polycoef / relpose per type
 
+  tendon_range: jax.Array  # (ntendon, 2)
+  tendon_margin: jax.Array  # (ntendon,)
+  tendon_stiffness: jax.Array  # (ntendon,)
+  tendon_damping: jax.Array  # (ntendon,)
+  tendon_lengthspring: jax.Array  # (ntendon, 2) spring deadband
+  tendon_solref_lim: jax.Array  # (ntendon, 2)
+  tendon_solimp_lim: jax.Array  # (ntendon, 5)
+
   def axes(self, batched: set[str] | tuple[str, ...] = ()) -> "Model":
     """vmap in_axes tree: 0 for DR-batched leaves, None elsewhere."""
     batched = set(batched)
@@ -403,6 +419,12 @@ class Data:
   cdof: jax.Array  # (nv, 6)
   cvel: jax.Array  # (nbody, 6)
   cdof_dot: jax.Array  # (nv, 6)
+
+  # Tendons (dynamic path state; fixed tendons get their static maps,
+  # spatial tendons the site-chain geometry — smooth.tendon).
+  ten_length: jax.Array  # (ntendon,)
+  ten_velocity: jax.Array  # (ntendon,)
+  ten_J: jax.Array  # (ntendon, nv)
 
   # Mass matrix.
   qM: jax.Array  # (nv, nv) dense

@@ -174,23 +174,26 @@ def test_equality_holds_loop_closed():
   assert float(jnp.linalg.norm(p1 - p2)) < 5e-3
 
 
-def test_spatial_tendon_equality_rejected():
-  """Spatial-tendon equality constraints are out of scope (fixed tendons
-  only, matching the transmission/tendon-matrix support surface)."""
+def test_geom_wrap_tendon_rejected():
+  """Spatial tendons support site-chain paths; geom wrapping (sphere/
+  cylinder wrap surfaces) is rejected at conversion."""
   xml = """
 <mujoco>
   <worldbody>
     <body name="a" pos="0 0 1"><joint name="ja" type="hinge" axis="0 1 0"/>
       <geom type="capsule" fromto="0 0 0 0.4 0 0" size="0.03"/>
       <site name="s1" pos="0.4 0 0"/>
+      <geom name="wrap" type="sphere" size="0.1" pos="0.2 0 0.2"
+            contype="0" conaffinity="0"/>
     </body>
     <site name="s0" pos="0 0 1.3"/>
   </worldbody>
-  <tendon><spatial name="t"><site site="s0"/><site site="s1"/></spatial></tendon>
-  <equality><tendon tendon1="t"/></equality>
+  <tendon><spatial name="t">
+    <site site="s0"/><geom geom="wrap"/><site site="s1"/>
+  </spatial></tendon>
 </mujoco>"""
   mjm = mujoco.MjModel.from_xml_string(xml)
-  with pytest.raises(NotImplementedError, match="tendon"):
+  with pytest.raises(NotImplementedError, match="site-chain"):
     physics.put_model(mjm, dtype=jnp.float64)
 
 
