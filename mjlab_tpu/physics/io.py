@@ -302,21 +302,53 @@ def _is_spatial_tendon(m: mujoco.MjModel, t: int) -> bool:
   )
 
 
-def _spatial_tendon_sites(m: mujoco.MjModel, t: int) -> list[int]:
-  """Site-id chain of a spatial tendon; geom wraps / pulleys rejected."""
+def _spatial_tendon_segments(
+  m: mujoco.MjModel, t: int
+) -> list[tuple[int, int, float, int, int]]:
+  """Static segment list (site_a, site_b, scale, wrap_geom, sidesite) of a
+  spatial tendon. Pulleys divide subsequent branches' length contribution
+  by their divisor and break the chain (mj_tendon semantics). A sphere/
+  cylinder wrap between two sites makes that segment route around the
+  geom at runtime (smooth._wrap_circle)."""
   adr, num = int(m.tendon_adr[t]), int(m.tendon_num[t])
-  sites = []
+  segs: list[tuple[int, int, float, int, int]] = []
+  prev_site = -1
+  pending_geom = -1
+  pending_side = -1
+  scale = 1.0
   for w in range(adr, adr + num):
     wt = int(m.wrap_type[w])
-    if wt != int(mujoco.mjtWrap.mjWRAP_SITE):
+    if wt == int(mujoco.mjtWrap.mjWRAP_SITE):
+      s = int(m.wrap_objid[w])
+      if prev_site >= 0:
+        segs.append((prev_site, s, scale, pending_geom, pending_side))
+      prev_site = s
+      pending_geom = -1
+      pending_side = -1
+    elif wt == int(mujoco.mjtWrap.mjWRAP_PULLEY):
+      divisor = float(m.wrap_prm[w])
+      scale = 1.0 / max(divisor, 1e-15)
+      prev_site = -1  # pulley breaks the chain: no segment across it
+      pending_geom = -1
+      pending_side = -1
+    elif wt in (
+      int(mujoco.mjtWrap.mjWRAP_SPHERE),
+      int(mujoco.mjtWrap.mjWRAP_CYLINDER),
+    ):
+      if prev_site < 0 or pending_geom >= 0:
+        raise NotImplementedError(
+          f"spatial tendon {t}: wrap geom must sit between two sites"
+        )
+      pending_geom = int(m.wrap_objid[w])
+      # mujoco stores the sidesite id in wrap_prm (−1 if absent).
+      pending_side = int(m.wrap_prm[w])
+    else:
       raise NotImplementedError(
-        f"spatial tendon {t}: only site-chain paths are supported "
-        f"(wrap type {wt} — geom wrapping / pulleys not implemented)"
+        f"spatial tendon {t}: wrap type {wt} is not supported"
       )
-    sites.append(int(m.wrap_objid[w]))
-  if len(sites) < 2:
+  if not segs:
     raise NotImplementedError(f"spatial tendon {t}: needs >= 2 sites")
-  return sites
+  return segs
 
 
 def _transmission_matrices(
@@ -550,19 +582,27 @@ def put_model(
         raise NotImplementedError("connect/weld objtype must be body or site")
     neq_rows += _EQ_ROWS[et]
 
-  # Tendon topology: kind, spatial site chains, range-limit rows.
+  # Tendon topology: kind, spatial segment lists, range-limit rows.
   tendon_kind = np.zeros(m.ntendon, dtype=np.int32)
-  site_chains: list[list[int]] = []
+  seg_lists: list[list[tuple[int, int, float, int, int]]] = []
   for t in range(m.ntendon):
     if _is_spatial_tendon(m, t):
       tendon_kind[t] = 1
-      site_chains.append(_spatial_tendon_sites(m, t))
+      seg_lists.append(_spatial_tendon_segments(m, t))
     else:
-      site_chains.append([])
-  max_w = max((len(c) for c in site_chains), default=0)
-  tendon_sites = np.full((m.ntendon, max(max_w, 1)), -1, dtype=np.int32)
-  for t, chain in enumerate(site_chains):
-    tendon_sites[t, : len(chain)] = chain
+      seg_lists.append([])
+  max_s = max((len(c) for c in seg_lists), default=0)
+  shape = (m.ntendon, max(max_s, 1))
+  tendon_seg_sites = np.full(shape + (2,), -1, dtype=np.int32)
+  tendon_seg_scale = np.zeros(shape)
+  tendon_seg_geom = np.full(shape, -1, dtype=np.int32)
+  tendon_seg_side = np.full(shape, -1, dtype=np.int32)
+  for t, segs in enumerate(seg_lists):
+    for k, (sa, sb, scale, g, side) in enumerate(segs):
+      tendon_seg_sites[t, k] = (sa, sb)
+      tendon_seg_scale[t, k] = scale
+      tendon_seg_geom[t, k] = g
+      tendon_seg_side[t, k] = side
   limited_tendons = np.nonzero(m.tendon_limited == 1)[0]
 
   nefc = (
@@ -653,7 +693,10 @@ def put_model(
     tendon_length0=m.tendon_length0.copy(),
     tendon_invweight0=m.tendon_invweight0.copy(),
     tendon_kind=tendon_kind,
-    tendon_sites=tendon_sites,
+    tendon_seg_sites=tendon_seg_sites,
+    tendon_seg_scale=tendon_seg_scale,
+    tendon_seg_geom=tendon_seg_geom,
+    tendon_seg_side=tendon_seg_side,
     limited_tendon_ids=limited_tendons,
     actuator_dyn_tendon=actuator_dyn_tendon,
     actuator_gaintype=m.actuator_gaintype.copy(),

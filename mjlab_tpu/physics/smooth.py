@@ -415,10 +415,63 @@ def _site_point_jac(tp: Topology, d: Data, site: int) -> jax.Array:
   return jac * mask[:, None]
 
 
+def _body_point_jac(tp: Topology, d: Data, body: int, p: jax.Array) -> jax.Array:
+  """(nv, 3) translational Jacobian of world point p attached to `body`."""
+  origin = d.subtree_com[tp.body_rootid[body]]
+  jac = d.cdof[:, 3:] + jnp.cross(d.cdof[:, :3], p[None] - origin)
+  mask = jnp.asarray(tp.body_dof_mask[body], dtype=d.qpos.dtype)
+  return jac * mask[:, None]
+
+
+def _tangent_point(p: jax.Array, r, s) -> jax.Array:
+  """2D tangent point on the origin circle of radius r from external point
+  p, on side s (+1/-1 of the perpendicular)."""
+  sq = jnp.maximum(p @ p, r * r + 1e-15)
+  perp = jnp.stack([-p[1], p[0]])
+  return (r * r / sq) * p + s * (r * jnp.sqrt(sq - r * r) / sq) * perp
+
+
+def _wrap_circle(p0, p1, r, sidept):
+  """2D circle wrap (mju_wrap's core): endpoints p0/p1 outside the origin
+  circle of radius r. Returns (wrapped, arc_len, t0, t1). `sidept` (2,) or
+  None picks the wrap side; otherwise the side the straight segment passes.
+  Validated against mujoco's wrap_xpos/ten_length over randomized configs
+  (tests/test_physics_tendon_wrap.py)."""
+  dtype = p0.dtype
+  dseg = p1 - p0
+  tt = jnp.clip(-(p0 @ dseg) / jnp.maximum(dseg @ dseg, 1e-15), 0.0, 1.0)
+  closest = p0 + tt * dseg
+  intersects = (closest @ closest) < r * r
+  cross = lambda a, b: a[0] * b[1] - a[1] * b[0]
+  if sidept is None:
+    # wrap on the side of the circle the segment passes: the side of the
+    # closest point (degenerate only when the segment hits the center).
+    s = jnp.where(cross(dseg, closest) >= 0, 1.0, -1.0).astype(dtype)
+  else:
+    s = jnp.where(cross(dseg, sidept) >= 0, 1.0, -1.0).astype(dtype)
+  t0 = _tangent_point(p0, r, -s)
+  t1 = _tangent_point(p1, r, s)
+  # signed angle from t0 to t1, measured in the wrap direction (-s turn).
+  # Wrap iff that arc is positive: without a sidesite s is the passing
+  # side, so a clearing segment gives a negative arc (straight); a forced
+  # sidesite wraps even without intersection (probed vs mju_wrap). An
+  # intersecting segment always wraps — arcs past π come back via +2π.
+  ang = jnp.arctan2(cross(t0, t1), t0 @ t1)
+  arc_ang = -s * ang
+  arc_ang = jnp.where((arc_ang <= 0) & intersects, arc_ang + 2 * jnp.pi, arc_ang)
+  arc = r * arc_ang
+  both_outside = (p0 @ p0 > r * r) & (p1 @ p1 > r * r)
+  wrapped = (arc_ang > 0) & both_outside
+  return wrapped, arc, t0, t1
+
+
 def tendon(tp: Topology, m: Model, d: Data) -> Data:
   """Tendon lengths/Jacobians (mj_tendon): fixed tendons ride their static
-  joint-coefficient maps; spatial tendons sum site-chain segment lengths,
-  with J from the segment-direction-projected site Jacobians."""
+  joint-coefficient maps; spatial tendons sum segment lengths — straight
+  site-to-site, scaled by pulley divisors, optionally wrapping sphere/
+  cylinder geoms (mju_wrap) — with J from direction-projected point
+  Jacobians (wrap tangent points are material points of the geom's body:
+  the taut-path envelope condition makes that exact to first order)."""
   dtype = d.qpos.dtype
   if tp.ntendon == 0:
     return d
@@ -427,16 +480,76 @@ def tendon(tp: Topology, m: Model, d: Data) -> Data:
   length = qmat @ d.qpos  # fixed rows; spatial rows are zero here
   J = jnp.broadcast_to(vmat, (tp.ntendon, tp.nv))
   for t in np.nonzero(tp.tendon_kind == 1)[0]:
-    sids = [int(s) for s in tp.tendon_sites[t] if s >= 0]
-    pts = d.site_xpos[np.array(sids)]  # (W, 3)
-    segs = pts[1:] - pts[:-1]
-    seg_len = jnp.linalg.norm(segs, axis=-1)
-    dirs = segs / jnp.maximum(seg_len, 1e-15)[:, None]
-    L_t = jnp.sum(seg_len)
+    L_t = jnp.zeros((), dtype=dtype)
     row = jnp.zeros(tp.nv, dtype=dtype)
-    jacs = [_site_point_jac(tp, d, s) for s in sids]  # each (nv, 3)
-    for k in range(len(sids) - 1):
-      row = row + (jacs[k + 1] - jacs[k]) @ dirs[k]
+    for k in range(tp.tendon_seg_sites.shape[1]):
+      sa, sb = int(tp.tendon_seg_sites[t, k, 0]), int(tp.tendon_seg_sites[t, k, 1])
+      if sa < 0:
+        continue
+      scale = float(tp.tendon_seg_scale[t, k])
+      g = int(tp.tendon_seg_geom[t, k])
+      pa, pb = d.site_xpos[sa], d.site_xpos[sb]
+      Ja = _site_point_jac(tp, d, sa)
+      Jb = _site_point_jac(tp, d, sb)
+      seg = pb - pa
+      l_str = jnp.linalg.norm(seg)
+      dir_str = seg / jnp.maximum(l_str, 1e-15)
+      L_seg = l_str
+      row_seg = (Jb - Ja) @ dir_str
+      if g >= 0:
+        gb = int(tp.geom_bodyid[g])
+        R = d.geom_xmat[g]
+        gp = d.geom_xpos[g]
+        r = m.geom_size[g, 0]
+        la = R.T @ (pa - gp)
+        lb = R.T @ (pb - gp)
+        side = int(tp.tendon_seg_side[t, k])
+        ls = R.T @ (d.site_xpos[side] - gp) if side >= 0 else None
+        if int(tp.geom_type[g]) == int(mujoco.mjtGeom.mjGEOM_CYLINDER):
+          # 2D wrap in the cylinder cross-section; z rides linearly along
+          # the 2D path and the arc length picks up the z component.
+          w2, arc2, t0_2, t1_2 = _wrap_circle(
+            la[:2], lb[:2], r, ls[:2] if ls is not None else None
+          )
+          a2 = jnp.linalg.norm(t0_2 - la[:2])
+          b2 = jnp.linalg.norm(lb[:2] - t1_2)
+          tot2 = jnp.maximum(a2 + arc2 + b2, 1e-15)
+          z0 = la[2] + (lb[2] - la[2]) * a2 / tot2
+          z1 = la[2] + (lb[2] - la[2]) * (a2 + arc2) / tot2
+          w0l = jnp.concatenate([t0_2, z0[None]])
+          w1l = jnp.concatenate([t1_2, z1[None]])
+          wlen = jnp.sqrt(arc2 * arc2 + (z1 - z0) ** 2)
+          wrapped = w2
+        else:  # sphere: wrap in the plane through both points (+ center)
+          n = jnp.cross(la, lb)
+          if ls is not None:
+            # degenerate la‖lb plane falls back to the sidesite plane
+            n = jnp.where(jnp.linalg.norm(n) < 1e-9, jnp.cross(la - lb, ls), n)
+          nn = n / jnp.maximum(jnp.linalg.norm(n), 1e-15)
+          e0 = la / jnp.maximum(jnp.linalg.norm(la), 1e-15)
+          e1 = jnp.cross(nn, e0)
+          to2 = lambda v: jnp.stack([v @ e0, v @ e1])
+          w2, arc2, t0_2, t1_2 = _wrap_circle(
+            to2(la), to2(lb), r, to2(ls) if ls is not None else None
+          )
+          w0l = t0_2[0] * e0 + t0_2[1] * e1
+          w1l = t1_2[0] * e0 + t1_2[1] * e1
+          wlen = arc2
+          wrapped = w2
+        w0 = gp + R @ w0l
+        w1 = gp + R @ w1l
+        l0 = jnp.linalg.norm(w0 - pa)
+        l1 = jnp.linalg.norm(pb - w1)
+        dir0 = (w0 - pa) / jnp.maximum(l0, 1e-15)
+        dir1 = (pb - w1) / jnp.maximum(l1, 1e-15)
+        Jg0 = _body_point_jac(tp, d, gb, w0)
+        Jg1 = _body_point_jac(tp, d, gb, w1)
+        L_wrap = l0 + wlen + l1
+        row_wrap = (Jg0 - Ja) @ dir0 + (Jb - Jg1) @ dir1
+        L_seg = jnp.where(wrapped, L_wrap, L_seg)
+        row_seg = jnp.where(wrapped, row_wrap, row_seg)
+      L_t = L_t + scale * L_seg
+      row = row + scale * row_seg
     length = length.at[t].set(L_t)
     J = J.at[t].set(row)
   return d.replace(ten_length=length, ten_J=J, ten_velocity=J @ d.qvel)

@@ -149,10 +149,15 @@ class Topology:
   tendon_vmat: np.ndarray  # (ntendon, nv)
   tendon_length0: np.ndarray  # (ntendon,)
   tendon_invweight0: np.ndarray  # (ntendon,)
-  # Spatial tendons (site-chain paths; smooth.tendon computes dynamic
-  # length/Jacobian into Data.ten_length/ten_J each step).
+  # Spatial tendons (smooth.tendon computes dynamic length/Jacobian into
+  # Data.ten_length/ten_J each step). The path is a static segment list:
+  # each segment connects two sites, scaled by 1/divisor (pulley branches);
+  # a segment with a wrap geom routes around it at runtime (mju_wrap).
   tendon_kind: np.ndarray  # (ntendon,) 0 = fixed (joint coefs), 1 = spatial
-  tendon_sites: np.ndarray  # (ntendon, W) site-id chains, -1 padded
+  tendon_seg_sites: np.ndarray  # (ntendon, S, 2) site-id pairs, -1 padded
+  tendon_seg_scale: np.ndarray  # (ntendon, S) 1/divisor, 0 padded
+  tendon_seg_geom: np.ndarray  # (ntendon, S) wrap geom id or -1
+  tendon_seg_side: np.ndarray  # (ntendon, S) sidesite id or -1
   limited_tendon_ids: np.ndarray  # tendons with range limits (efc rows)
   # Per-actuator spatial-tendon transmission (tendon id or -1): these
   # actuator rows come from Data.ten_J instead of the static matrices.
