@@ -420,8 +420,18 @@ _DISPATCH = {
 }
 
 
-def _combine_params_vec(tp: Topology, m: Model, g1: np.ndarray, g2: np.ndarray):
-  """Vectorized mj_contactParam over a pair group (static priority masks)."""
+def _combine_params_vec(
+  tp: Topology,
+  m: Model,
+  g1: np.ndarray,
+  g2: np.ndarray,
+  pair_id: np.ndarray | None = None,
+):
+  """Vectorized mj_contactParam over a pair group (static priority masks).
+
+  Rows with `pair_id >= 0` are explicit <pair> elements: their params come
+  verbatim from Model.pair_* (mj_collision predefined-pair semantics)
+  instead of geom mixing."""
   prio1 = tp.geom_priority[g1]
   prio2 = tp.geom_priority[g2]
   hi = np.where(prio1 >= prio2, g1, g2)  # used only where priorities differ
@@ -447,7 +457,17 @@ def _combine_params_vec(tp: Topology, m: Model, g1: np.ndarray, g2: np.ndarray):
   friction = jnp.stack(
     [fri3[:, 0], fri3[:, 0], fri3[:, 1], fri3[:, 2], fri3[:, 2]], axis=-1
   )
-  return friction, solref, solimp, margin - gap
+  inclmargin = margin - gap
+  if pair_id is not None and (pair_id >= 0).any():
+    sel = pair_id >= 0  # static (host) mask: pair table is topology
+    pid = np.where(sel, pair_id, 0)
+    friction = jnp.where(sel[:, None], m.pair_friction[pid], friction)
+    solref = jnp.where(sel[:, None], m.pair_solref[pid], solref)
+    solimp = jnp.where(sel[:, None], m.pair_solimp[pid], solimp)
+    inclmargin = jnp.where(
+      sel, m.pair_margin[pid] - m.pair_gap[pid], inclmargin
+    )
+  return friction, solref, solimp, inclmargin
 
 
 def _hfield_group(tp, m, d, key, group, g1, g2):

@@ -255,9 +255,43 @@ def _candidate_pairs(
         )
       mobile_by_type.setdefault(t, []).append(g)
 
+  # Explicit <pair> elements: mj_collision checks these UNFILTERED (no
+  # contype/conaffinity, no excludes, no parent filter) and they take
+  # precedence over the dynamic pair for the same two geoms. Contact params
+  # come from mjModel.pair_* (see collision._combine_params_vec override).
   pairs: list[GeomPair] = []
+  explicit: set[tuple[int, int]] = set()
+  for i in range(m.npair):
+    ga, gb = int(m.pair_geom1[i]), int(m.pair_geom2[i])
+    if np.any(m.pair_solreffriction[i]):
+      raise NotImplementedError(
+        f"pair {i}: solreffriction is not supported (friction rows share "
+        "the pair's solref)"
+      )
+    if m.geom_type[ga] > m.geom_type[gb]:
+      ga, gb = gb, ga
+    key = (int(m.geom_type[ga]), int(m.geom_type[gb]))
+    if key not in _PAIR_NCON:
+      raise NotImplementedError(
+        f"Unsupported collision pair {key} in explicit <pair> {i}."
+      )
+    explicit.add((ga, gb))
+    pairs.append(
+      GeomPair(
+        geom1=ga,
+        geom2=gb,
+        type1=key[0],
+        type2=key[1],
+        ncon=_PAIR_NCON[key],
+        condim=int(m.pair_dim[i]),
+        pair_id=i,
+      )
+    )
+
   for g1 in range(m.ngeom):
     for g2 in range(g1 + 1, m.ngeom):
+      if (g1, g2) in explicit or (g2, g1) in explicit:
+        continue  # predefined pair wins over the dynamic one
       if g1 in pool or g2 in pool:
         continue  # handled by the terrain groups
       if not compatible(g1, g2):
@@ -803,6 +837,11 @@ def put_model(
     geom_solmix=arr(m.geom_solmix),
     geom_margin=arr(m.geom_margin),
     geom_gap=arr(m.geom_gap),
+    pair_friction=arr(m.pair_friction if m.npair else np.zeros((0, 5))),
+    pair_solref=arr(m.pair_solref if m.npair else np.zeros((0, 2))),
+    pair_solimp=arr(m.pair_solimp if m.npair else np.zeros((0, 5))),
+    pair_margin=arr(m.pair_margin if m.npair else np.zeros(0)),
+    pair_gap=arr(m.pair_gap if m.npair else np.zeros(0)),
     site_pos=arr(m.site_pos),
     site_quat=arr(m.site_quat),
     actuator_gainprm=arr(m.actuator_gainprm),

@@ -69,8 +69,12 @@ class GeomPair:
   type2: int
   ncon: int  # number of contact slots this pair occupies
   condim: int
-  # Combined (host-resolved) contact parameters; per-slot constants unless the
-  # pair params are randomized (then they live in Model.pair_* overrides).
+  # Explicit <pair> element index (mjModel.pair_*), or -1 for a dynamic
+  # (contype/conaffinity) pair. Explicit pairs take their contact params
+  # (friction/solref/solimp/margin/gap, condim) from Model.pair_* leaves
+  # instead of mj_contactParam geom mixing — mj_collision's predefined-pair
+  # semantics (the reference gets this via mujoco_warp's pair table).
+  pair_id: int = -1
 
 
 @dataclasses.dataclass(frozen=True)
@@ -310,6 +314,15 @@ class Model:
   geom_solmix: jax.Array
   geom_margin: jax.Array
   geom_gap: jax.Array
+
+  # Explicit <pair> contact parameters (npair rows; empty when the model
+  # declares none). Consumed by collision._combine_params_vec for pairs
+  # whose GeomPair.pair_id >= 0.
+  pair_friction: jax.Array  # (npair, 5)
+  pair_solref: jax.Array  # (npair, 2)
+  pair_solimp: jax.Array  # (npair, 5)
+  pair_margin: jax.Array  # (npair,)
+  pair_gap: jax.Array  # (npair,)
 
   site_pos: jax.Array
   site_quat: jax.Array
