@@ -1,19 +1,24 @@
 """Benchmark harness: env-steps/s on the flagship G1 velocity task.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"} — the
-headline eval-stepping number the driver records each round. Unless
-BENCH_FAST=1 (or a single mode is forced via BENCH_MODE), it ALSO measures
-the full-PPO training iteration and a 1k/4k/16k env-count scaling curve and
-writes every row to BENCH_DETAIL.json, so regressions in the update path are
-visible round over round (VERDICT r1 item 4), not just bare env stepping.
+Driver contract (VERDICT r2 weak #1): the ONE headline JSON line
+{"metric", "value", "unit", "vs_baseline"} is printed AND flushed
+immediately after the eval measurement — before any further work — so a
+slow or hung train sweep can never cost the round its perf evidence.
+Unless BENCH_FAST=1 (or a single mode is forced via BENCH_MODE), the
+harness then measures the full-PPO training iteration and an env-count
+scaling curve under an explicit wall-clock budget (BENCH_BUDGET_S, default
+900 s measured from process start), writing BENCH_DETAIL.json
+incrementally after every row; rows that would start past the budget are
+skipped and recorded as such.
 
 The reference publishes no numbers (BASELINE.md); the driver-set north star
 is >=1M env-steps/s aggregate at 4096 envs/chip, so vs_baseline is reported
 relative to that 1M env-steps/s target.
 
-Env overrides: BENCH_TASK, BENCH_NUM_ENVS, BENCH_STEPS, BENCH_WARMUP.
-BENCH_MODE=eval|train restricts to one mode at BENCH_NUM_ENVS (one line,
-no detail file). BENCH_FAST=1 runs the headline eval only.
+Env overrides: BENCH_TASK, BENCH_NUM_ENVS, BENCH_STEPS, BENCH_WARMUP,
+BENCH_SCALE, BENCH_BUDGET_S. BENCH_MODE=eval|train restricts to one mode at
+BENCH_NUM_ENVS (one line, no detail file). BENCH_FAST=1 runs the headline
+eval only.
 """
 
 from __future__ import annotations
@@ -24,6 +29,7 @@ import sys
 import time
 
 _TARGET = 1_000_000.0  # driver north star, env-steps/s
+_T_START = time.perf_counter()  # budget clock: whole-process wall time
 
 
 def _make_env(task: str, num_envs: int):
@@ -54,6 +60,10 @@ def _bench_eval(task: str, num_envs: int, steps: int, warmup: int) -> dict:
     # (docs/PERF_NOTES.md). Math-identical (tests/test_packed_step.py).
     jit_packed, pack_s, unpack_s, _ = env.build_packed_step()
     packed = pack_s(env.state)
+    tc = time.perf_counter()
+    packed, out = jit_packed(packed, action)
+    jax.block_until_ready(out[0].get("f32"))
+    compile_s = time.perf_counter() - tc
     for _ in range(warmup):
       packed, out = jit_packed(packed, action)
     jax.block_until_ready(out[0].get("f32"))
@@ -66,6 +76,10 @@ def _bench_eval(task: str, num_envs: int, steps: int, warmup: int) -> dict:
   else:
     state = env.state
     step = env._jit_step
+    tc = time.perf_counter()
+    state, out = step(state, action)
+    jax.block_until_ready(out[1])
+    compile_s = time.perf_counter() - tc
     for _ in range(warmup):
       state, out = step(state, action)
     jax.block_until_ready(out[1])
@@ -93,6 +107,7 @@ def _bench_eval(task: str, num_envs: int, steps: int, warmup: int) -> dict:
     "value": round(env_steps_per_s, 1),
     "unit": "env-steps/s",
     "vs_baseline": round(env_steps_per_s / _TARGET, 4),
+    "compile_s": round(compile_s, 2),
   }
 
 
@@ -116,9 +131,11 @@ def _bench_train(task: str, num_envs: int, iters: int) -> dict:
   runner = OnPolicyRunner(env, agent)
   state = runner.state
   # Two warmup iterations: the second still compiles host-loop helpers.
+  tc = time.perf_counter()
   for _ in range(2):
     state, metrics = runner._train_iter(state)
   jax.block_until_ready(metrics["Loss/loss"])
+  compile_s = time.perf_counter() - tc
 
   t0 = time.perf_counter()
   for _ in range(iters):
@@ -136,6 +153,7 @@ def _bench_train(task: str, num_envs: int, iters: int) -> dict:
     "value": round(v, 1),
     "unit": "env-steps/s",
     "vs_baseline": round(v / _TARGET, 4),
+    "compile_s": round(compile_s, 2),
   }
 
 
@@ -195,45 +213,74 @@ def main() -> None:
   warmup = int(os.environ.get("BENCH_WARMUP", "5"))
   mode = os.environ.get("BENCH_MODE")
 
-  def headline_line(row: dict) -> str:
-    # The driver contract is ONE JSON line with exactly these keys.
-    return json.dumps(
-      {k: row[k] for k in ("metric", "value", "unit", "vs_baseline")}
+  def emit_headline(row: dict) -> None:
+    # The driver contract is ONE JSON line with exactly these keys, printed
+    # and FLUSHED the moment the measurement exists (VERDICT r2 weak #1:
+    # anything that can hang must come after this line).
+    print(
+      json.dumps(
+        {k: row[k] for k in ("metric", "value", "unit", "vs_baseline")}
+      ),
+      flush=True,
     )
 
   if mode == "train":
-    print(headline_line(_bench_train(task, num_envs, max(steps // 10, 3))))
+    emit_headline(_bench_train(task, num_envs, max(steps // 10, 3)))
     return
   if mode == "eval" or os.environ.get("BENCH_FAST"):
-    print(headline_line(_bench_eval(task, num_envs, steps, warmup)))
+    emit_headline(_bench_eval(task, num_envs, steps, warmup))
     return
 
-  # Full sweep: headline eval, train iteration, and a train scaling curve.
+  # Full sweep: headline eval FIRST (printed immediately), then a train
+  # iteration + scaling curve under an explicit wall-clock budget, with
+  # BENCH_DETAIL.json rewritten after every row so a timeout preserves all
+  # completed measurements.
+  budget_s = float(os.environ.get("BENCH_BUDGET_S", "900"))
   rows = [_bench_eval(task, num_envs, steps, warmup)]
-  headline = rows[0]
+  emit_headline(rows[0])
+
+  detail_path = os.path.join(
+    os.path.dirname(__file__) or ".", "BENCH_DETAIL.json"
+  )
+
+  def write_detail() -> None:
+    with open(detail_path, "w") as f:
+      json.dump(
+        {
+          "task": task,
+          "platform": jax.devices()[0].platform,
+          "target_env_steps_per_s": _TARGET,
+          "budget_s": budget_s,
+          "rows": rows,
+        },
+        f,
+        indent=1,
+      )
+
+  write_detail()
   train_iters = max(steps // 10, 3)
   scale = tuple(
     int(s)
     for s in os.environ.get("BENCH_SCALE", f"1024,{num_envs},16384").split(",")
   )
   for n in scale:
+    elapsed = time.perf_counter() - _T_START
+    if elapsed > budget_s:
+      rows.append(
+        {"metric": f"train_env_steps_per_s ({task}, {n} envs)",
+         "mode": "train", "num_envs": n,
+         "skipped": f"over budget ({elapsed:.0f}s > {budget_s:.0f}s)"}
+      )
+      write_detail()
+      continue
     try:
       rows.append(_bench_train(task, n, train_iters))
-    except Exception as e:  # record the failure, keep the headline valid
+    except Exception as e:  # record the failure, keep earlier rows valid
       rows.append(
         {"metric": f"train_env_steps_per_s ({task}, {n} envs)",
          "mode": "train", "num_envs": n, "error": repr(e)}
       )
-  detail = {
-    "task": task,
-    "platform": jax.devices()[0].platform,
-    "target_env_steps_per_s": _TARGET,
-    "rows": rows,
-  }
-  with open(os.path.join(os.path.dirname(__file__) or ".",
-                         "BENCH_DETAIL.json"), "w") as f:
-    json.dump(detail, f, indent=1)
-  print(headline_line(headline))
+    write_detail()
 
 
 if __name__ == "__main__":

@@ -453,20 +453,20 @@ def _combine_params_vec(
   solref = jnp.where(differ[:, None], m.geom_solref[hi], ref_mix)
   solimp = jnp.where(differ[:, None], m.geom_solimp[hi], imp_mix)
   margin = jnp.maximum(m.geom_margin[g1], m.geom_margin[g2])
-  gap = jnp.maximum(m.geom_gap[g1], m.geom_gap[g2])
   friction = jnp.stack(
     [fri3[:, 0], fri3[:, 0], fri3[:, 1], fri3[:, 2], fri3[:, 2]], axis=-1
   )
-  inclmargin = margin - gap
+  # MuJoCo >= 3.10 sets includemargin = margin; the legacy `gap` attribute
+  # no longer deactivates in-gap contacts (verified empirically against the
+  # installed mujoco: identical efc forces with and without gap).
+  inclmargin = margin
   if pair_id is not None and (pair_id >= 0).any():
     sel = pair_id >= 0  # static (host) mask: pair table is topology
     pid = np.where(sel, pair_id, 0)
     friction = jnp.where(sel[:, None], m.pair_friction[pid], friction)
     solref = jnp.where(sel[:, None], m.pair_solref[pid], solref)
     solimp = jnp.where(sel[:, None], m.pair_solimp[pid], solimp)
-    inclmargin = jnp.where(
-      sel, m.pair_margin[pid] - m.pair_gap[pid], inclmargin
-    )
+    inclmargin = jnp.where(sel, m.pair_margin[pid], inclmargin)
   return friction, solref, solimp, inclmargin
 
 
@@ -604,12 +604,13 @@ def _combine_params_terrain(
   solref = pick(r_higher, ref_r, ref_t, ref_mix)
   solimp = pick(r_higher, imp_r, imp_t, imp_mix)
   margin = jnp.maximum(m.geom_margin[g][:, None], m.geom_margin[ids])
-  gap = jnp.maximum(m.geom_gap[g][:, None], m.geom_gap[ids])
   friction = jnp.stack(
     [fri3[..., 0], fri3[..., 0], fri3[..., 1], fri3[..., 2], fri3[..., 2]],
     axis=-1,
   )
-  return friction, solref, solimp, margin - gap
+  # includemargin = margin (gap ignored since MuJoCo 3.10; see
+  # _combine_params_vec).
+  return friction, solref, solimp, margin
 
 
 def _terrain_group_contacts(tp: Topology, m: Model, d: Data, tg: TerrainGroup):
@@ -795,7 +796,9 @@ def collision(tp: Topology, m: Model, d: Data) -> Data:
         d.geom_xpos[g1], d.geom_xmat[g1], m.geom_size[g1],
         d.geom_xpos[g2], d.geom_xmat[g2], m.geom_size[g2],
       )  # (n, k), (n, k, 3), (n, k, 3, 3)
-    friction, solref, solimp, inclmargin = _combine_params_vec(tp, m, g1, g2)
+    friction, solref, solimp, inclmargin = _combine_params_vec(
+      tp, m, g1, g2, pair_id=np.asarray([p.pair_id for p in group])
+    )
     n = len(group)
     dists.append(dist.reshape(n * k))
     poss.append(pos.reshape(n * k, 3))

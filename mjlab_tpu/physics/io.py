@@ -28,6 +28,20 @@ from mjlab_tpu.physics.types import (
 
 _G = mujoco.mjtGeom
 
+# Rounded primitives approximated by convex hulls through the SAT
+# narrowphase when no analytic path exists (MJX tessellates the same way;
+# plane pairs keep their exact analytic handlers below). Tessellation
+# density trades manifold quality vs SAT axis count.
+_HULL_APPROX_TYPES = (int(_G.mjGEOM_CYLINDER), int(_G.mjGEOM_ELLIPSOID))
+_CYLINDER_SECTORS = 16
+_ELLIPSOID_DIRS = 42
+
+
+def _effective_type(t: int) -> int:
+  """Collision-dispatch type: cylinders/ellipsoids collide as mesh hulls."""
+  return int(_G.mjGEOM_MESH) if int(t) in _HULL_APPROX_TYPES else int(t)
+
+
 # Contact-slot capacity per supported (type1, type2) pair, type1 <= type2.
 _PAIR_NCON: dict[tuple[int, int], int] = {
   (_G.mjGEOM_PLANE, _G.mjGEOM_SPHERE): 1,
@@ -85,6 +99,28 @@ def _hull_vertices(m: mujoco.MjModel, geom_id: int) -> np.ndarray:
   return np.asarray(verts, dtype=np.float64)
 
 
+def _primitive_hull_vertices(t: int, size: np.ndarray) -> np.ndarray:
+  """Tessellated hull vertices for a rounded primitive, geom frame.
+
+  Cylinder: two rings of _CYLINDER_SECTORS at z = ±half-length (the convex
+  hull of the true surface cross-section); ellipsoid: _ELLIPSOID_DIRS
+  Fibonacci directions scaled by the semi-axes. Both under-approximate the
+  curved surface by O(r·θ²/2) ≈ 2% of radius at 16 sectors."""
+  from mjlab_tpu.physics.convex import _fibonacci_directions
+
+  if t == int(_G.mjGEOM_CYLINDER):
+    r, h = float(size[0]), float(size[1])
+    th = np.linspace(0, 2 * np.pi, _CYLINDER_SECTORS, endpoint=False)
+    ring = np.stack([r * np.cos(th), r * np.sin(th)], axis=-1)
+    top = np.concatenate([ring, np.full((len(th), 1), h)], axis=-1)
+    bot = np.concatenate([ring, np.full((len(th), 1), -h)], axis=-1)
+    return np.concatenate([top, bot], axis=0)
+  if t == int(_G.mjGEOM_ELLIPSOID):
+    dirs = _fibonacci_directions(_ELLIPSOID_DIRS)
+    return dirs * np.asarray(size, dtype=np.float64)
+  raise NotImplementedError(f"no hull approximation for geom type {t}")
+
+
 def _geom_bounding_radius(m: mujoco.MjModel, g: int) -> float:
   """Host bounding-sphere radius of a geom (about its frame origin)."""
   t = int(m.geom_type[g])
@@ -100,6 +136,27 @@ def _geom_bounding_radius(m: mujoco.MjModel, g: int) -> float:
   if t == int(_G.mjGEOM_MESH):
     return float(np.max(np.linalg.norm(_hull_vertices(m, g), axis=-1)))
   return float(np.linalg.norm(s))
+
+
+def _pair_key(
+  m: mujoco.MjModel, ga: int, gb: int
+) -> tuple[tuple[int, int] | None, int, int]:
+  """Dispatch key + canonical geom order for a candidate pair.
+
+  Exact analytic pairs match on raw geom types first; otherwise rounded
+  primitives fall back to their convex-hull (mesh) dispatch type. Returns
+  (None, ga, gb) when unsupported either way."""
+  t1, t2 = int(m.geom_type[ga]), int(m.geom_type[gb])
+  if t1 > t2:
+    ga, gb, t1, t2 = gb, ga, t2, t1
+  if (t1, t2) in _PAIR_NCON:
+    return (t1, t2), ga, gb
+  e1, e2 = _effective_type(t1), _effective_type(t2)
+  if e1 > e2:
+    ga, gb, e1, e2 = gb, ga, e2, e1
+  if (e1, e2) in _PAIR_NCON:
+    return (e1, e2), ga, gb
+  return None, ga, gb
 
 
 def _combined_condim(m: mujoco.MjModel, ga: int, gb: int) -> int:
@@ -247,7 +304,7 @@ def _candidate_pairs(
         raise NotImplementedError(
           "geom has mixed collision compatibility with the terrain pool"
         )
-      t = int(m.geom_type[g])
+      t = _effective_type(int(m.geom_type[g]))
       key = tuple(sorted((t, int(_G.mjGEOM_BOX))))
       if key not in _PAIR_NCON:
         raise NotImplementedError(
@@ -268,12 +325,21 @@ def _candidate_pairs(
         f"pair {i}: solreffriction is not supported (friction rows share "
         "the pair's solref)"
       )
-    if m.geom_type[ga] > m.geom_type[gb]:
-      ga, gb = gb, ga
-    key = (int(m.geom_type[ga]), int(m.geom_type[gb]))
-    if key not in _PAIR_NCON:
+    key, ga, gb = _pair_key(m, ga, gb)
+    if key is None:
       raise NotImplementedError(
-        f"Unsupported collision pair {key} in explicit <pair> {i}."
+        f"Unsupported collision pair "
+        f"{(int(m.geom_type[ga]), int(m.geom_type[gb]))} in explicit "
+        f"<pair> {i}."
+      )
+    if ga in pool or gb in pool:
+      # The terrain broadphase would also emit contacts for this (mobile,
+      # pool-geom) combination, double-counting constraint forces; MuJoCo
+      # gives predefined pairs precedence over the dynamic pair, so we
+      # refuse rather than silently duplicate.
+      raise NotImplementedError(
+        f"explicit <pair> {i} references a terrain-pool geom; predefined "
+        "pairs into the terrain broadphase pool are not supported"
       )
     explicit.add((ga, gb))
     pairs.append(
@@ -296,17 +362,16 @@ def _candidate_pairs(
         continue  # handled by the terrain groups
       if not compatible(g1, g2):
         continue
-      ga, gb = g1, g2
-      if m.geom_type[ga] > m.geom_type[gb]:
-        ga, gb = gb, ga
-      key = (int(m.geom_type[ga]), int(m.geom_type[gb]))
-      if key not in _PAIR_NCON:
+      key, ga, gb = _pair_key(m, g1, g2)
+      if key is None:
         names = [
           mujoco.mj_id2name(m, mujoco.mjtObj.mjOBJ_GEOM, g) or str(g)
           for g in (ga, gb)
         ]
         raise NotImplementedError(
-          f"Unsupported collision pair {key} between geoms {names}."
+          f"Unsupported collision pair "
+          f"{(int(m.geom_type[ga]), int(m.geom_type[gb]))} between geoms "
+          f"{names}."
         )
       pairs.append(
         GeomPair(
@@ -667,14 +732,24 @@ def put_model(
       for g in tg.robot_geoms
     }
   )
-  # Cache hulls by mesh id: entities attached per-env scene share meshes.
-  _hull_by_mesh: dict[int, object] = {}
+  # Cache hulls by mesh id / primitive signature: entities attached per-env
+  # scene share meshes and repeat identical primitive sizes.
+  _hull_cache: dict[object, object] = {}
   geom_hulls = {}
   for g in mesh_geoms:
-    mid = int(m.geom_dataid[g])
-    if mid not in _hull_by_mesh:
-      _hull_by_mesh[mid] = build_hull(_hull_vertices(m, g))
-    geom_hulls[g] = _hull_by_mesh[mid]
+    t = int(m.geom_type[g])
+    if t == int(_G.mjGEOM_MESH):
+      cache_key: object = int(m.geom_dataid[g])
+      if cache_key not in _hull_cache:
+        _hull_cache[cache_key] = build_hull(_hull_vertices(m, g))
+    else:
+      # Rounded primitive routed through the SAT path: tessellated hull
+      # (_pair_key fallback; plane pairs stay analytic).
+      size = m.geom_size[g]
+      cache_key = (t, float(size[0]), float(size[1]), float(size[2]))
+      if cache_key not in _hull_cache:
+        _hull_cache[cache_key] = build_hull(_primitive_hull_vertices(t, size))
+    geom_hulls[g] = _hull_cache[cache_key]
 
   tp = Topology(
     nq=m.nq,

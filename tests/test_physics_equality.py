@@ -174,9 +174,9 @@ def test_equality_holds_loop_closed():
   assert float(jnp.linalg.norm(p1 - p2)) < 5e-3
 
 
-def test_geom_wrap_tendon_rejected():
-  """Spatial tendons support site-chain paths; geom wrapping (sphere/
-  cylinder wrap surfaces) is rejected at conversion."""
+def test_geom_wrap_tendon_supported():
+  """Spatial tendons with geom wrap surfaces convert and match MuJoCo's
+  ten_length at qpos0 (full trajectory parity: test_physics_tendon_wrap.py)."""
   xml = """
 <mujoco>
   <worldbody>
@@ -193,8 +193,15 @@ def test_geom_wrap_tendon_rejected():
   </spatial></tendon>
 </mujoco>"""
   mjm = mujoco.MjModel.from_xml_string(xml)
-  with pytest.raises(NotImplementedError, match="site-chain"):
-    physics.put_model(mjm, dtype=jnp.float64)
+  tp, model = physics.put_model(mjm, dtype=jnp.float64)
+  d = jax.jit(functools.partial(physics.forward, tp))(
+    model, physics.make_data(tp, model)
+  )
+  mjd = mujoco.MjData(mjm)
+  mujoco.mj_forward(mjm, mjd)
+  np.testing.assert_allclose(
+    np.asarray(d.ten_length), mjd.ten_length, rtol=0, atol=1e-10
+  )
 
 
 def test_unsupported_model_features_rejected():

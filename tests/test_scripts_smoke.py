@@ -66,3 +66,30 @@ def test_joint_deltas_random_policy_runs():
   )
   assert r.returncode == 0, r.stderr[-3000:]
   assert "joint" in r.stdout.lower()
+
+
+@pytest.mark.slow
+def test_bench_emits_headline_json_line():
+  """bench.py driver contract (VERDICT r2 weak #1): BENCH_FAST=1 on CPU must
+  print exactly one valid JSON line with the four driver keys on stdout."""
+  import json
+  import os
+
+  env = dict(os.environ)
+  env.update(
+    JAX_PLATFORMS="cpu",
+    BENCH_FAST="1",
+    BENCH_NUM_ENVS="4",
+    BENCH_STEPS="3",
+    BENCH_WARMUP="1",
+  )
+  r = subprocess.run(
+    [sys.executable, "bench.py"], capture_output=True, text=True,
+    timeout=1500, cwd="/root/repo", env=env,
+  )
+  assert r.returncode == 0, r.stderr[-3000:]
+  lines = [l for l in r.stdout.splitlines() if l.strip()]
+  assert len(lines) == 1, f"expected ONE stdout line, got: {lines}"
+  row = json.loads(lines[0])
+  assert set(row) == {"metric", "value", "unit", "vs_baseline"}
+  assert row["value"] > 0
