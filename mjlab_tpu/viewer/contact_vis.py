@@ -91,6 +91,18 @@ class ContactVisuals:
   def count(self) -> int:
     return len(self.point_pos)
 
+  @staticmethod
+  def empty() -> "ContactVisuals":
+    return ContactVisuals(
+      point_pos=np.zeros((0, 3)),
+      point_mat=np.zeros((0, 3, 3)),
+      point_size=np.zeros((0, 3)),
+      force_pos=np.zeros((0, 3)),
+      force_mat=np.zeros((0, 3, 3)),
+      force_len=np.zeros((0,)),
+      force_width=0.0,
+    )
+
 
 def compute_contact_visuals(
   dist: np.ndarray,

@@ -145,11 +145,23 @@ def _mesh(model: mujoco.MjModel, mid: int):
   return verts, faces
 
 
+def geom_rgba(model: mujoco.MjModel, geom_id: int) -> np.ndarray:
+  """Effective display color: the geom's material color when a material is
+  assigned and the geom rgba is the 0.5-gray default, else geom_rgba
+  (reference viser_conversions.py resolves the same precedence through
+  trimesh visuals)."""
+  rgba = np.asarray(model.geom_rgba[geom_id], dtype=np.float64)
+  matid = int(model.geom_matid[geom_id])
+  if matid >= 0 and np.allclose(rgba, (0.5, 0.5, 0.5, 1.0)):
+    return np.asarray(model.mat_rgba[matid], dtype=np.float64)
+  return rgba
+
+
 def geom_to_mesh(model: mujoco.MjModel, geom_id: int) -> MeshData | None:
   """Triangle mesh for one geom in its local frame; None if unsupported."""
   gtype = int(model.geom_type[geom_id])
   size = model.geom_size[geom_id]
-  rgba = model.geom_rgba[geom_id]
+  rgba = geom_rgba(model, geom_id)
   mjt = mujoco.mjtGeom
   if gtype == mjt.mjGEOM_SPHERE:
     v, f = _uv_sphere(float(size[0]))
@@ -187,3 +199,83 @@ def extract_scene_meshes(model: mujoco.MjModel) -> dict[int, MeshData]:
     if mesh is not None and mesh.opacity > 0.0:
       out[gid] = mesh
   return out
+
+
+# -- body-level merging (reference viser_conversions.merge_geoms) ------------
+
+
+def _quat_to_mat(quat: np.ndarray) -> np.ndarray:
+  w, x, y, z = [float(v) for v in quat]
+  return np.array(
+    [
+      [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+      [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+      [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ],
+    dtype=np.float32,
+  )
+
+
+def transform_mesh(mesh: MeshData, pos: np.ndarray, quat: np.ndarray) -> MeshData:
+  """Mesh with vertices mapped local→parent frame by (pos, quat wxyz)."""
+  rot = _quat_to_mat(np.asarray(quat, dtype=np.float64))
+  verts = mesh.vertices @ rot.T + np.asarray(pos, dtype=np.float32)
+  return MeshData(
+    vertices=verts.astype(np.float32),
+    faces=mesh.faces,
+    color=mesh.color,
+    opacity=mesh.opacity,
+  )
+
+
+def merge_meshes(meshes: list[MeshData]) -> MeshData | None:
+  """Concatenate meshes into one (vertex-count-weighted average color),
+  mirroring the reference's trimesh concatenation (merge_geoms)."""
+  meshes = [m for m in meshes if m is not None]
+  if not meshes:
+    return None
+  offsets = np.cumsum([0] + [m.vertices.shape[0] for m in meshes[:-1]])
+  verts = np.concatenate([m.vertices for m in meshes], axis=0)
+  faces = np.concatenate(
+    [m.faces + off for m, off in zip(meshes, offsets)], axis=0
+  ).astype(np.int32)
+  weights = np.asarray([m.vertices.shape[0] for m in meshes], dtype=np.float64)
+  weights /= weights.sum()
+  color = tuple(
+    float(np.dot(weights, [m.color[k] for m in meshes])) for k in range(3)
+  )
+  opacity = float(np.dot(weights, [m.opacity for m in meshes]))
+  return MeshData(vertices=verts, faces=faces, color=color, opacity=opacity)
+
+
+def merge_geoms(model: mujoco.MjModel, geom_ids: list[int]) -> MeshData | None:
+  """Merged mesh for several geoms of one body, in the body frame
+  (reference viser_conversions.py:308 merge_geoms)."""
+  parts = []
+  for gid in geom_ids:
+    mesh = geom_to_mesh(model, gid)
+    if mesh is None:
+      continue
+    parts.append(
+      transform_mesh(mesh, model.geom_pos[gid], model.geom_quat[gid])
+    )
+  return merge_meshes(parts)
+
+
+def is_fixed_body(model: mujoco.MjModel, body_id: int) -> bool:
+  """True if the body is welded to the world (mocap bodies count as mobile) —
+  reference viser_conversions.py:403."""
+  if int(model.body_mocapid[body_id]) >= 0:
+    return False
+  return int(model.body_weldid[body_id]) == 0
+
+
+def is_collision_geom(model: mujoco.MjModel, geom_id: int) -> bool:
+  return bool(
+    model.geom_contype[geom_id] != 0 or model.geom_conaffinity[geom_id] != 0
+  )
+
+
+def get_body_name(model: mujoco.MjModel, body_id: int) -> str:
+  name = mujoco.mj_id2name(model, mujoco.mjtObj.mjOBJ_BODY, body_id)
+  return (name or f"body_{body_id}").replace("/", "_")

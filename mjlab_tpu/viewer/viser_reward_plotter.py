@@ -52,3 +52,15 @@ class ViserRewardPlotter:
     self._series.append(values)
     for name, plot in self._plots.items():
       plot.data = (self._series.x, self._series.series(name))
+
+  def clear_histories(self) -> None:
+    """Zero all series (env switch / reset — reference clear_histories)."""
+    self._series = RewardSeries(self._series.term_names, self._series.window)
+    for name, plot in self._plots.items():
+      plot.data = (self._series.x, self._series.series(name))
+
+  def cleanup(self) -> None:
+    for plot in self._plots.values():
+      if hasattr(plot, "remove"):
+        plot.remove()
+    self._plots.clear()

@@ -1,0 +1,396 @@
+"""Headless viser smoke: ViserMjScene driven by a fake server against a
+compiled robot model (VERDICT r2 item 6). Covers scene-graph construction
+(batched per-(body,group) handles, fixed geometry, infinite-grid planes),
+batched pose updates with hide-others / camera-tracking recentring, cached
+refresh on settings change, GUI wiring, contact markers, and the
+DebugVisualizer protocol — all without the viser package."""
+
+import numpy as np
+import pytest
+
+mujoco = pytest.importorskip("mujoco")
+
+from mjlab_tpu.asset_zoo.robots.unitree_go1 import go1_constants
+from mjlab_tpu.entity import Entity
+from mjlab_tpu.viewer.contact_vis import ContactVisuals
+from mjlab_tpu.viewer.viser_conversions import (
+  geom_rgba,
+  is_fixed_body,
+  merge_geoms,
+  merge_meshes,
+)
+from mjlab_tpu.viewer.viser_scene import DEFAULT_GROUPS_VISIBLE, ViserMjScene
+
+
+# -- fake viser server --------------------------------------------------------
+
+
+class _Handle:
+  def __init__(self, name, **kwargs):
+    self.name = name
+    self.props = kwargs
+    self.visible = kwargs.get("visible", True)
+    self.position = kwargs.get("position", (0.0, 0.0, 0.0))
+    self.wxyz = kwargs.get("wxyz", (1.0, 0.0, 0.0, 0.0))
+    self.batched_positions = kwargs.get("batched_positions")
+    self.batched_wxyzs = kwargs.get("batched_wxyzs")
+    self.batched_scales = kwargs.get("batched_scales")
+    self.removed = False
+
+  def remove(self):
+    self.removed = True
+
+
+class _Ctx:
+  def __init__(self, obj):
+    self._obj = obj
+
+  def __enter__(self):
+    return self._obj
+
+  def __exit__(self, *a):
+    return False
+
+
+class _GuiControl(_Handle):
+  def __init__(self, name, **kwargs):
+    super().__init__(name, **kwargs)
+    self.value = kwargs.get("initial_value")
+    self._callbacks = []
+
+  def on_update(self, fn):
+    self._callbacks.append(fn)
+    return fn
+
+  on_click = on_update
+
+  def set(self, value):
+    """Simulate a browser-side edit."""
+    self.value = value
+    for fn in self._callbacks:
+      fn(None)
+
+
+class _FakeScene:
+  def __init__(self):
+    self.nodes: dict[str, _Handle] = {}
+
+  def _add(self, name, **kwargs):
+    h = _Handle(name, **kwargs)
+    self.nodes[name] = h
+    return h
+
+  def add_frame(self, name, **kw):
+    return self._add(name, **kw)
+
+  def add_grid(self, name, **kw):
+    return self._add(name, kind="grid", **kw)
+
+  def add_mesh_simple(self, name, vertices, faces, **kw):
+    return self._add(name, vertices=vertices, faces=faces, **kw)
+
+  def add_batched_meshes_simple(self, name, vertices, faces, **kw):
+    return self._add(name, vertices=vertices, faces=faces, **kw)
+
+
+class _FakeGui:
+  def __init__(self):
+    self.controls: dict[str, _GuiControl] = {}
+
+  def _add(self, name, **kw):
+    c = _GuiControl(name, **kw)
+    self.controls[name] = c
+    return c
+
+  def add_folder(self, name):
+    return _Ctx(self)
+
+  def add_tab_group(self):
+    gui = self
+
+    class _Tabs:
+      def add_tab(self, name, **kw):
+        return _Ctx(gui)
+
+    return _Tabs()
+
+  def add_checkbox(self, name, initial_value=False, **kw):
+    return self._add(name, initial_value=initial_value)
+
+  def add_slider(self, name, **kw):
+    return self._add(name, initial_value=kw.get("initial_value", 0))
+
+  def add_rgb(self, name, initial_value=(0, 0, 0), **kw):
+    return self._add(name, initial_value=initial_value)
+
+  def add_number(self, name, **kw):
+    return self._add(name, initial_value=kw.get("initial_value", 0.0))
+
+  def add_button(self, name, **kw):
+    return self._add(name)
+
+  def add_html(self, content=""):
+    c = self._add(f"html{len(self.controls)}")
+    c.content = content
+    return c
+
+  def add_uplot(self, **kw):
+    return self._add(f"plot{len(self.controls)}", **kw)
+
+
+class _FakeClientCamera:
+  def __init__(self):
+    self.fov = 1.0
+    self.position = np.zeros(3)
+    self.look_at = np.zeros(3)
+
+
+class _FakeClient:
+  def __init__(self):
+    self.camera = _FakeClientCamera()
+
+
+class FakeServer:
+  def __init__(self):
+    self.scene = _FakeScene()
+    self.gui = _FakeGui()
+    self._clients = {0: _FakeClient()}
+    self._connect_cbs = []
+
+  def atomic(self):
+    return _Ctx(self)
+
+  def get_clients(self):
+    return self._clients
+
+  def on_client_connect(self, fn):
+    self._connect_cbs.append(fn)
+    return fn
+
+  def flush(self):
+    pass
+
+  def stop(self):
+    pass
+
+
+# -- fixtures -----------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def go1_model():
+  entity = Entity(go1_constants.get_go1_robot_cfg())
+  # Give the robot a floor so there is fixed world geometry.
+  spec = entity.spec
+  spec.worldbody.add_geom(
+    name="floor", type=mujoco.mjtGeom.mjGEOM_PLANE, size=[10, 10, 0.1]
+  )
+  return spec.compile()
+
+
+@pytest.fixture()
+def scene(go1_model):
+  server = FakeServer()
+  sc = ViserMjScene(server, go1_model, num_envs=3)
+  return server, sc, go1_model
+
+
+def _poses(model, num_envs, spread=1.0):
+  xpos = np.tile(model.body_pos[None], (num_envs, 1, 1)).astype(np.float64)
+  xpos[:, :, 0] += spread * np.arange(num_envs)[:, None]
+  xquat = np.tile(
+    np.asarray([1.0, 0, 0, 0]), (num_envs, model.nbody, 1)
+  )
+  return xpos, xquat
+
+
+# -- tests --------------------------------------------------------------------
+
+
+def test_scene_builds_batched_handles_per_body_group(scene):
+  server, sc, model = scene
+  # One batched handle per mobile (body, group) with ngeom>0 in that group.
+  assert sc._handles, "no mobile body handles created"
+  for (body_id, group_id), h in sc._handles.items():
+    assert not is_fixed_body(model, body_id)
+    assert h.batched_positions.shape == (3, 3)  # num_envs instances
+    assert h.batched_wxyzs.shape == (3, 4)
+    assert h.visible == (group_id < 6 and sc.geom_groups_visible[group_id])
+  # Collision-only asset: the adaptive default enabled group 3 (the
+  # DEFAULT_GROUPS_VISIBLE table alone would render nothing).
+  assert sc.geom_groups_visible[3] and not DEFAULT_GROUPS_VISIBLE[3]
+  # The floor plane became an infinite grid under /fixed_bodies.
+  grids = [
+    n for n, h in server.scene.nodes.items()
+    if h.props.get("kind") == "grid"
+  ]
+  assert grids and all(n.startswith("/fixed_bodies/") for n in grids)
+
+
+def _first_visible(sc):
+  for key, h in sorted(sc._handles.items()):
+    if h.visible:
+      return h
+  raise AssertionError("no visible handle")
+
+
+def test_update_streams_all_envs(scene):
+  server, sc, model = scene
+  xpos, xquat = _poses(model, 3)
+  sc.update(xpos, xquat, env_idx=1)
+  h = _first_visible(sc)
+  np.testing.assert_allclose(
+    h.batched_positions[:, 0] - h.batched_positions[0, 0],
+    [0.0, 1.0, 2.0],
+    atol=1e-6,
+  )
+
+
+def test_hide_others_collapses_to_selected(scene):
+  server, sc, model = scene
+  sc.show_only_selected = True
+  xpos, xquat = _poses(model, 3)
+  sc.update(xpos, xquat, env_idx=2)
+  h = _first_visible(sc)
+  # All three instances carry env 2's pose.
+  assert np.ptp(h.batched_positions, axis=0).max() < 1e-6
+
+
+def test_camera_tracking_recentres_scene(scene):
+  server, sc, model = scene
+  sc.camera_tracking_enabled = True
+  xpos, xquat = _poses(model, 3)
+  sc.update(xpos, xquat, env_idx=0)
+  tracked = sc._tracked_body_id
+  h = sc._handles[(tracked, min(g for b, g in sc._handles if b == tracked))] \
+    if any(b == tracked for b, _ in sc._handles) else next(iter(sc._handles.values()))
+  # Selected env's tracked body sits at the origin; fixed frame shifted.
+  np.testing.assert_allclose(
+    np.asarray(sc._fixed_frame.position), -xpos[0, tracked], atol=1e-6
+  )
+
+
+def test_refresh_on_settings_change_uses_cache(scene):
+  server, sc, model = scene
+  xpos, xquat = _poses(model, 3)
+  sc.update(xpos, xquat, env_idx=0)
+  before = _first_visible(sc).batched_positions.copy()
+  # Toggling a setting repaints from cache without new data.
+  sc.show_only_selected = True
+  sc._request_update()
+  after = _first_visible(sc).batched_positions
+  assert after.shape == before.shape
+  assert np.ptp(after, axis=0).max() < 1e-6  # collapsed → update happened
+
+
+def test_gui_wiring_controls_scene_state(scene):
+  server, sc, model = scene
+  sc.create_visualization_gui()
+  sc.create_geom_groups_gui()
+  gui = server.gui.controls
+
+  gui["Track camera"].set(True)
+  assert sc.camera_tracking_enabled
+  # Enabling tracking snapped the connected client camera.
+  client = server.get_clients()[0]
+  assert np.linalg.norm(client.camera.position) > 0
+
+  gui["Select"].set(2)
+  assert sc.env_idx == 2
+  gui["Hide others"].set(True)
+  assert sc.show_only_selected
+
+  gui["Group 0"].set(False)
+  assert not sc.geom_groups_visible[0]
+  for (body, group), h in sc._handles.items():
+    if group == 0:
+      assert not h.visible
+
+  gui["FOV (°)"].set(45)
+  assert abs(client.camera.fov - np.radians(45)) < 1e-9
+
+  gui["Points"].set(True)
+  assert sc.show_contact_points
+  gui["Scale"].set(0.5)
+  assert sc.meansize_override == 0.5
+
+
+def test_contact_markers_and_colors(scene):
+  server, sc, model = scene
+  sc.show_contact_points = True
+  sc.show_contact_forces = True
+  vis = ContactVisuals(
+    point_pos=np.array([[0.0, 0.0, 0.0]]),
+    point_mat=np.eye(3)[None],
+    point_size=np.array([[0.02, 0.02, 0.005]]),
+    force_pos=np.array([[0.0, 0.0, 0.0]]),
+    force_mat=np.eye(3)[None],
+    force_len=np.array([0.3]),
+    force_width=0.01,
+  )
+  sc.contact_point_color = (1, 2, 3)
+  sc.update_contacts(vis)
+  assert sc._contact_point_handle.visible
+  assert tuple(sc._contact_point_handle.props["batched_colors"]) == (1, 2, 3)
+  assert sc._force_shaft_handle.visible
+  # Head sits at arrow tip (force_len along z).
+  np.testing.assert_allclose(
+    sc._force_head_handle.batched_positions[0], [0, 0, 0.3], atol=1e-6
+  )
+  # Toggling off hides the markers.
+  sc.show_contact_points = False
+  sc.show_contact_forces = False
+  sc.update_contacts(vis)
+  assert not sc._contact_point_handle.visible
+  assert not sc._force_shaft_handle.visible
+
+
+def test_debug_visualizer_protocol(scene):
+  server, sc, model = scene
+  sc.add_arrow((0, 0, 0), (0, 0, 1))
+  sc.add_frame((0, 0, 0.5), np.eye(3), scale=0.2)
+  sc._flush_arrows()
+  assert sc._arrow_shaft_handle.visible
+  assert len(sc._arrow_shaft_handle.batched_positions) == 4  # 1 + 3 axes
+  sc.clear_debug_all()
+  assert not sc._arrow_shaft_handle.visible
+
+  # Ghost: host-FK posed copies of the robot's mobile geoms.
+  qpos = np.zeros(model.nq)
+  qpos[: model.nq] = model.qpos0
+  sc.add_ghost_mesh(qpos)
+  assert sc._ghost_handles
+  for h in sc._ghost_handles.values():
+    assert h.visible
+  sc.hide_ghost()
+  assert not any(h.visible for h in sc._ghost_handles.values())
+
+
+def test_update_from_mjdata_single_env(scene):
+  """Single-env MjData source (nan_viz scrub path) tiles over the scene's
+  instance count so batched handles keep their shape."""
+  server, sc, model = scene
+  d = mujoco.MjData(model)
+  mujoco.mj_forward(model, d)
+  sc.update_from_mjdata(d)
+  h = _first_visible(sc)
+  assert h.batched_positions.shape == (3, 3)
+  assert np.ptp(h.batched_positions, axis=0).max() < 1e-6
+
+
+def test_conversions_merge_and_material_colors(go1_model):
+  m = go1_model
+  # Merged body mesh: faces reindexed, vertex count = sum of parts.
+  body_geoms: dict[int, list[int]] = {}
+  for gid in range(m.ngeom):
+    body_geoms.setdefault(int(m.geom_bodyid[gid]), []).append(gid)
+  body, gids = max(body_geoms.items(), key=lambda kv: len(kv[1]))
+  merged = merge_geoms(m, gids)
+  assert merged is not None
+  assert merged.faces.max() < merged.vertices.shape[0]
+  # merge_meshes of nothing is None.
+  assert merge_meshes([]) is None
+  # Material color resolution returns a 4-vector in [0, 1].
+  rgba = geom_rgba(m, 0)
+  assert rgba.shape == (4,)
+  assert (rgba >= 0).all() and (rgba <= 1).all()
