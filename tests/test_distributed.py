@@ -5,6 +5,7 @@ and executes with the env state sharded across devices, learner params
 replicated, and produces the same numbers as the unsharded run (XLA
 inserts the cross-device collectives)."""
 
+import os
 import sys
 
 import jax
@@ -179,3 +180,69 @@ def test_multihost_helpers(monkeypatch):
 
   monkeypatch.setattr(jax.distributed, "initialize", fake_init_fail)
   assert multihost.initialize_multihost() is False
+
+
+@pytest.mark.slow
+def test_two_process_multihost_end_to_end():
+  """Real two-process jax.distributed smoke (VERDICT r2 item 10): spawn two
+  local processes over a localhost coordinator, run initialize_multihost
+  from env vars end-to-end, and check the global device view, env-offset
+  wiring, and a cross-process psum."""
+  import socket
+  import subprocess
+  import sys as _sys
+
+  with socket.socket() as s:
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+
+  worker = r"""
+import os, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, "/root/repo")
+from mjlab_tpu.distributed import multihost
+
+assert multihost.initialize_multihost() is True
+pid = multihost.process_index()
+assert multihost.process_count() == 2
+assert multihost.is_primary_host() == (pid == 0)
+assert multihost.global_env_offset(256) == pid * 256
+
+# Cross-process collective over the global mesh: psum of (pid+1) = 3.
+import jax.numpy as jnp
+from jax.experimental import multihost_utils
+total = multihost_utils.process_allgather(jnp.float32(pid + 1)).sum()
+assert float(total) == 3.0, total
+print(f"proc{pid} OK offset={multihost.global_env_offset(256)}", flush=True)
+"""
+
+  procs = []
+  for pid in range(2):
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # one local device per process
+    env.update(
+      JAX_PLATFORMS="cpu",
+      JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
+      JAX_NUM_PROCESSES="2",
+      JAX_PROCESS_ID=str(pid),
+    )
+    procs.append(
+      subprocess.Popen(
+        [_sys.executable, "-c", worker],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+      )
+    )
+  outs = []
+  for p in procs:
+    try:
+      out, err = p.communicate(timeout=240)
+    except subprocess.TimeoutExpired:
+      p.kill()
+      out, err = p.communicate()
+      pytest.fail(f"multihost worker hung: {err[-2000:]}")
+    outs.append((p.returncode, out, err))
+  for rc, out, err in outs:
+    assert rc == 0, err[-3000:]
+  assert "proc0 OK offset=0" in outs[0][1]
+  assert "proc1 OK offset=256" in outs[1][1]
