@@ -109,6 +109,49 @@ def integrate(tp: Topology, m: Model, d: Data) -> Data:
   return d.replace(qpos=qpos, qvel=qvel, act=act, time=d.time + h)
 
 
+def _rk4(tp: Topology, m: Model, d: Data) -> Data:
+  """Classic 4th-order Runge-Kutta over (qpos, qvel, act) — mj_RungeKutta
+  (mujoco engine_forward.c): stage states from the Butcher tableau, one full
+  forward per stage, quaternion-aware position integration from the saved
+  initial qpos. No eulerdamp/implicit damping — qacc is used directly."""
+  h = m.opt.timestep
+  A = ((0.5, 0.0, 0.0), (0.0, 0.5, 0.0), (0.0, 0.0, 1.0))
+  B = (1.0 / 6.0, 1.0 / 3.0, 1.0 / 3.0, 1.0 / 6.0)
+  qpos0, qvel0, act0 = d.qpos, d.qvel, d.act
+  # F[j] = (qpos-derivative, qvel-derivative, act-derivative) at stage j:
+  # d(qpos)/dt = qvel of the stage state, d(qvel)/dt = qacc there.
+  F = [(d.qvel, d.qacc, d.act_dot)]
+  for i in range(3):
+    dvel = sum(A[i][j] * F[j][0] for j in range(i + 1) if A[i][j])
+    dacc = sum(A[i][j] * F[j][1] for j in range(i + 1) if A[i][j])
+    qpos = kinematics.integrate_pos(tp, m, qpos0, dvel, h)
+    qvel = qvel0 + h * dacc
+    if tp.na > 0:
+      dact = sum(A[i][j] * F[j][2] for j in range(i + 1) if A[i][j])
+      d = d.replace(qpos=qpos, qvel=qvel, act=act0 + h * dact)
+    else:
+      d = d.replace(qpos=qpos, qvel=qvel)
+    d = forward(tp, m, d)
+    F.append((d.qvel, d.qacc, d.act_dot))
+  dvel = sum(B[j] * F[j][0] for j in range(4))
+  dacc = sum(B[j] * F[j][1] for j in range(4))
+  qpos = kinematics.integrate_pos(tp, m, qpos0, dvel, h)
+  qvel = qvel0 + h * dacc
+  if tp.na > 0:
+    src = tp.act_actuator
+    act = act0 + h * sum(B[j] * F[j][2] for j in range(4))
+    limited = np.asarray(tp.actuator_actlimited[src].astype(bool))
+    clamped = jnp.clip(
+      act, m.actuator_actrange[src, 0], m.actuator_actrange[src, 1]
+    )
+    act = jnp.where(jnp.asarray(limited), clamped, act)
+  else:
+    act = act0
+  return d.replace(qpos=qpos, qvel=qvel, act=act, time=d.time + h)
+
+
 def step(tp: Topology, m: Model, d: Data) -> Data:
   d = forward(tp, m, d)
+  if m.opt.integrator == Integrator.RK4:
+    return _rk4(tp, m, d)
   return integrate(tp, m, d)

@@ -580,6 +580,8 @@ def put_model(
     integrator = Integrator.IMPLICITFAST
   elif m.opt.integrator == mujoco.mjtIntegrator.mjINT_EULER:
     integrator = Integrator.EULER
+  elif m.opt.integrator == mujoco.mjtIntegrator.mjINT_RK4:
+    integrator = Integrator.RK4
   else:
     raise NotImplementedError(f"Integrator {m.opt.integrator} not supported.")
   # Guard against silently mis-simulated features: anything the engine

@@ -236,6 +236,7 @@ class Topology:
 class Integrator:
   EULER = 0
   IMPLICITFAST = 1
+  RK4 = 2
 
 
 class ConeType:

@@ -1,5 +1,8 @@
 """Stage-by-stage smooth-dynamics parity vs the MuJoCo C reference (f64)."""
 
+import functools
+
+import jax
 import jax.numpy as jnp
 import mujoco
 import numpy as np
@@ -193,3 +196,69 @@ def test_step_trajectory_parity(integrator):
 
   np.testing.assert_allclose(np.asarray(d.qpos), mjd.qpos, atol=1e-8)
   np.testing.assert_allclose(np.asarray(d.qvel), mjd.qvel, atol=1e-7)
+
+
+# --- RK4 integrator (r3: closes a conversion rejection) ---------------------
+
+
+@pytest.mark.parametrize(
+  "scene",
+  ["pendulum", "freefall_contact", "actuated_filter"],
+)
+def test_rk4_trajectory_parity(scene):
+  """integrator="RK4" matches mj_step (mj_RungeKutta) on smooth, contact,
+  and activation-dynamics scenes."""
+  xmls = {
+    "pendulum": """
+<mujoco><option timestep="0.004" integrator="RK4"/>
+  <worldbody>
+    <body pos="0 0 1"><joint name="j" type="hinge" axis="0 1 0" damping="0.1"/>
+      <geom type="capsule" fromto="0 0 0 0.4 0 0" size="0.04"
+            contype="0" conaffinity="0"/>
+      <body pos="0.4 0 0"><joint type="hinge" axis="1 0 0" damping="0.02"/>
+        <geom type="capsule" fromto="0 0 0 0 0.25 0" size="0.03"
+              contype="0" conaffinity="0"/></body>
+    </body>
+  </worldbody></mujoco>""",
+    "freefall_contact": """
+<mujoco><option timestep="0.002" integrator="RK4"/>
+  <worldbody>
+    <geom type="plane" size="5 5 0.1"/>
+    <body pos="0.01 0.02 0.3"><freejoint/>
+      <geom type="sphere" size="0.1" friction="0.7"/></body>
+  </worldbody></mujoco>""",
+    "actuated_filter": """
+<mujoco><option timestep="0.004" integrator="RK4"/>
+  <worldbody>
+    <body pos="0 0 1"><joint name="j" type="hinge" axis="0 1 0" damping="0.05"/>
+      <geom type="capsule" fromto="0 0 0 0.3 0 0" size="0.03"
+            contype="0" conaffinity="0"/></body>
+  </worldbody>
+  <actuator>
+    <general joint="j" dyntype="filter" dynprm="0.05" gainprm="2.0"
+             biasprm="0 0 0"/>
+  </actuator></mujoco>""",
+  }
+  mjm = mujoco.MjModel.from_xml_string(xmls[scene])
+  assert mjm.opt.integrator == mujoco.mjtIntegrator.mjINT_RK4
+  mjd = mujoco.MjData(mjm)
+  if scene == "pendulum":
+    mjd.qvel[:] = [1.5, -0.8]
+  elif scene == "actuated_filter":
+    mjd.ctrl[:] = 0.7
+
+  tp, model = physics.put_model(mjm, dtype=jnp.float64)
+  step = jax.jit(functools.partial(physics.step, tp))
+  d = physics.make_data(tp, model)
+  d = d.replace(
+    qpos=jnp.asarray(mjd.qpos.copy()), qvel=jnp.asarray(mjd.qvel.copy())
+  )
+  if scene == "actuated_filter":
+    d = d.replace(ctrl=jnp.asarray(mjd.ctrl.copy()))
+  for _ in range(150):
+    mujoco.mj_step(mjm, mjd)
+    d = step(model, d)
+  np.testing.assert_allclose(np.asarray(d.qpos), mjd.qpos, atol=1e-8)
+  np.testing.assert_allclose(np.asarray(d.qvel), mjd.qvel, atol=1e-7)
+  if mjm.na:
+    np.testing.assert_allclose(np.asarray(d.act), mjd.act, atol=1e-9)
