@@ -600,26 +600,33 @@ def put_model(
   if int(m.opt.noslip_iterations) > 0:
     raise NotImplementedError("noslip post-solver is not supported")
   for u in range(m.nu):
-    if int(m.actuator_gaintype[u]) != int(mujoco.mjtGain.mjGAIN_FIXED):
+    if int(m.actuator_gaintype[u]) not in (
+      int(mujoco.mjtGain.mjGAIN_FIXED),
+      int(mujoco.mjtGain.mjGAIN_MUSCLE),
+    ):
       raise NotImplementedError(
         f"actuator {u}: gaintype {int(m.actuator_gaintype[u])} "
-        "(only FIXED gain is supported — motor/position/velocity actuators)"
+        "(FIXED and MUSCLE gains are supported)"
       )
     if int(m.actuator_biastype[u]) not in (
       int(mujoco.mjtBias.mjBIAS_NONE),
       int(mujoco.mjtBias.mjBIAS_AFFINE),
+      int(mujoco.mjtBias.mjBIAS_MUSCLE),
     ):
-      raise NotImplementedError(f"actuator {u}: muscle bias is not supported")
+      raise NotImplementedError(
+        f"actuator {u}: biastype {int(m.actuator_biastype[u])}"
+      )
     if int(m.actuator_dyntype[u]) not in (
       int(mujoco.mjtDyn.mjDYN_NONE),
       int(mujoco.mjtDyn.mjDYN_INTEGRATOR),
       int(mujoco.mjtDyn.mjDYN_FILTER),
       int(mujoco.mjtDyn.mjDYN_FILTEREXACT),
+      int(mujoco.mjtDyn.mjDYN_MUSCLE),
     ):
       raise NotImplementedError(
         f"actuator {u}: activation dynamics (dyntype "
         f"{int(m.actuator_dyntype[u])}) are not supported "
-        "(integrator/filter/filterexact only)"
+        "(integrator/filter/filterexact/muscle only)"
       )
     if int(m.actuator_dyntype[u]) != int(mujoco.mjtDyn.mjDYN_NONE) and (
       int(m.actuator_actnum[u]) != 1
@@ -928,6 +935,8 @@ def put_model(
     actuator_forcerange=arr(m.actuator_forcerange),
     actuator_dynprm=arr(m.actuator_dynprm),
     actuator_actrange=arr(m.actuator_actrange),
+    actuator_lengthrange=arr(m.actuator_lengthrange),
+    actuator_acc0=arr(m.actuator_acc0),
     hfield_data=arr(m.hfield_data if m.nhfield else np.zeros(0)),
     hfield_size=arr(m.hfield_size if m.nhfield else np.zeros((0, 4))),
     eq_solref=arr(m.eq_solref if m.neq else np.zeros((0, 2))),

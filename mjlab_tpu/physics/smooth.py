@@ -595,11 +595,20 @@ def fwd_actuation(tp: Topology, m: Model, d: Data) -> Data:
 
   act_dot = d.act_dot
   if tp.na > 0:
-    dyn = tp.actuator_dyntype  # mjtDyn: 1=integrator, 2=filter, 3=filterexact
+    # mjtDyn: 1=integrator, 2=filter, 3=filterexact, 4=muscle
+    dyn = tp.actuator_dyntype
     stateful = np.asarray(dyn != 0)
     act_u = d.act[np.where(stateful, tp.actuator_actadr, 0)]
     tau = jnp.maximum(m.actuator_dynprm[:, 0], 1e-15)
     act_dot_u = jnp.where(jnp.asarray(dyn == 1), ctrl, (ctrl - act_u) / tau)
+    if (dyn == 4).any():
+      from mjlab_tpu.physics import muscle as _muscle
+
+      act_dot_u = jnp.where(
+        jnp.asarray(dyn == 4),
+        _muscle.muscle_dynamics(ctrl, act_u, m.actuator_dynprm[:, :3]),
+        act_dot_u,
+      )
     act_dot_u = jnp.where(jnp.asarray(stateful), act_dot_u, jnp.zeros((), dtype))
     # actearly: force uses the NEXT activation (mj_nextActivation).
     h = m.opt.timestep
@@ -619,6 +628,27 @@ def fwd_actuation(tp: Topology, m: Model, d: Data) -> Data:
     + m.actuator_biasprm[:, 1] * length
     + m.actuator_biasprm[:, 2] * velocity
   )
+  gaintype = np.asarray(tp.actuator_gaintype)
+  biastype = np.asarray(tp.actuator_biastype)
+  if (gaintype == 2).any() or (biastype == 2).any():  # mjGAIN/mjBIAS_MUSCLE
+    from mjlab_tpu.physics import muscle as _muscle
+
+    gain = jnp.where(
+      jnp.asarray(gaintype == 2),
+      _muscle.muscle_gain(
+        length, velocity, m.actuator_lengthrange, m.actuator_acc0,
+        m.actuator_gainprm[:, :9],
+      ),
+      gain,
+    )
+    bias = jnp.where(
+      jnp.asarray(biastype == 2),
+      _muscle.muscle_bias(
+        length, m.actuator_lengthrange, m.actuator_acc0,
+        m.actuator_biasprm[:, :9],
+      ),
+      bias,
+    )
   force = gain * inp + bias
   flimited = jnp.asarray(tp.actuator_forcelimited.astype(bool))
   fclamped = jnp.clip(force, m.actuator_forcerange[:, 0], m.actuator_forcerange[:, 1])

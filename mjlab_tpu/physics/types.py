@@ -335,6 +335,8 @@ class Model:
   actuator_forcerange: jax.Array
   actuator_dynprm: jax.Array  # (nu, 10) activation time constants
   actuator_actrange: jax.Array  # (nu, 2)
+  actuator_lengthrange: jax.Array  # (nu, 2) muscle operating range
+  actuator_acc0: jax.Array  # (nu,) unit-gain acceleration at qpos0 (muscle)
 
   hfield_data: jax.Array  # concatenated raster data, () if no hfields
   hfield_size: jax.Array  # (nhfield, 4)

@@ -211,12 +211,12 @@ def test_unsupported_model_features_rejected():
     "noslip": '<mujoco><option noslip_iterations="3"/><worldbody>'
               '<body pos="0 0 1"><freejoint/><geom type="sphere" size="0.1"/>'
               '</body></worldbody></mujoco>',
-    "muscle": '<mujoco><worldbody><body pos="0 0 1">'
-              '<joint name="j" type="hinge" range="0 1.5" limited="true"/>'
-              '<geom type="capsule" fromto="0 0 0 0.3 0 0" size="0.03"/>'
-              '</body></worldbody><actuator>'
-              '<muscle joint="j"/>'
-              '</actuator></mujoco>',
+    "user_dyn": '<mujoco><worldbody><body pos="0 0 1">'
+                '<joint name="j" type="hinge"/>'
+                '<geom type="capsule" fromto="0 0 0 0.3 0 0" size="0.03"/>'
+                '</body></worldbody><actuator>'
+                '<general joint="j" dyntype="user"/>'
+                '</actuator></mujoco>',
   }
   for name, xml in cases.items():
     mjm = mujoco.MjModel.from_xml_string(xml)
