@@ -460,6 +460,7 @@ def _combine_params_vec(
   # no longer deactivates in-gap contacts (verified empirically against the
   # installed mujoco: identical efc forces with and without gap).
   inclmargin = margin
+  solreffriction = jnp.zeros_like(solref)  # zeros → friction rows use solref
   if pair_id is not None and (pair_id >= 0).any():
     sel = pair_id >= 0  # static (host) mask: pair table is topology
     pid = np.where(sel, pair_id, 0)
@@ -467,7 +468,10 @@ def _combine_params_vec(
     solref = jnp.where(sel[:, None], m.pair_solref[pid], solref)
     solimp = jnp.where(sel[:, None], m.pair_solimp[pid], solimp)
     inclmargin = jnp.where(sel, m.pair_margin[pid], inclmargin)
-  return friction, solref, solimp, inclmargin
+    solreffriction = jnp.where(
+      sel[:, None], m.pair_solreffriction[pid], solreffriction
+    )
+  return friction, solref, solimp, inclmargin, solreffriction
 
 
 def _hfield_group(tp, m, d, key, group, g1, g2):
@@ -763,7 +767,7 @@ def collision(tp: Topology, m: Model, d: Data) -> Data:
   if tp.ncon_max == 0:
     return d
   dists, poss, frames = [], [], []
-  fris, refs, imps, margins = [], [], [], []
+  fris, refs, imps, margins, freffs = [], [], [], [], []
   for key, group in itertools.groupby(tp.pairs, key=lambda p: (p.type1, p.type2)):
     group = list(group)
     g1 = np.asarray([p.geom1 for p in group])
@@ -796,7 +800,7 @@ def collision(tp: Topology, m: Model, d: Data) -> Data:
         d.geom_xpos[g1], d.geom_xmat[g1], m.geom_size[g1],
         d.geom_xpos[g2], d.geom_xmat[g2], m.geom_size[g2],
       )  # (n, k), (n, k, 3), (n, k, 3, 3)
-    friction, solref, solimp, inclmargin = _combine_params_vec(
+    friction, solref, solimp, inclmargin, sreff = _combine_params_vec(
       tp, m, g1, g2, pair_id=np.asarray([p.pair_id for p in group])
     )
     n = len(group)
@@ -807,6 +811,7 @@ def collision(tp: Topology, m: Model, d: Data) -> Data:
     refs.append(jnp.repeat(solref, k, axis=0))
     imps.append(jnp.repeat(solimp, k, axis=0))
     margins.append(jnp.repeat(inclmargin, k, axis=0))
+    freffs.append(jnp.repeat(sreff, k, axis=0))
   for tg in tp.terrain_groups:
     dist, pos, frame, friction, solref, solimp, inclm = _terrain_group_contacts(
       tp, m, d, tg
@@ -818,6 +823,7 @@ def collision(tp: Topology, m: Model, d: Data) -> Data:
     refs.append(solref)
     imps.append(solimp)
     margins.append(inclm)
+    freffs.append(jnp.zeros_like(solref))  # no <pair> into terrain pools
   contact = Contact(
     dist=jnp.concatenate(dists),
     pos=jnp.concatenate(poss),
@@ -826,5 +832,6 @@ def collision(tp: Topology, m: Model, d: Data) -> Data:
     friction=jnp.concatenate(fris),
     solref=jnp.concatenate(refs),
     solimp=jnp.concatenate(imps),
+    solreffriction=jnp.concatenate(freffs),
   )
   return d.replace(contact=contact)

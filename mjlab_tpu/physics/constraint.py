@@ -596,10 +596,16 @@ def make_constraint(tp: Topology, m: Model, d: Data) -> Data:
           fl_parts.append(jnp.zeros_like(D_n))
           continue
         mu0 = jnp.maximum(c.friction[idx, 0], _MINVAL)
-        # Friction rows: damping-only reference acceleration −b·vel (same b
-        # as the normal row's solref; no stiffness term — matches MuJoCo's
-        # efc_aref for elliptic friction rows).
-        _, b_g, _ = _kbi(c.solref[idx], c.solimp[idx], pos_g - mar_g)
+        # Friction rows: damping-only reference acceleration −b·vel (no
+        # stiffness term — matches MuJoCo's efc_aref for elliptic friction
+        # rows). The damping comes from solreffriction when the contact's
+        # <pair> sets it (probed: efc_KBIP has K=0 and B from
+        # solreffriction), else from the normal row's solref.
+        sreff = c.solreffriction[idx]
+        ref_fric = jnp.where(
+          jnp.any(sreff != 0.0, axis=-1, keepdims=True), sreff, c.solref[idx]
+        )
+        _, b_g, _ = _kbi(ref_fric, c.solimp[idx], pos_g - mar_g)
         Js, Ds, arefs = [n_rows], [D_n], [aref_n]
         for f in range(1, cd):
           J_f = friction_axis_rows(idx, f)

@@ -320,11 +320,6 @@ def _candidate_pairs(
   explicit: set[tuple[int, int]] = set()
   for i in range(m.npair):
     ga, gb = int(m.pair_geom1[i]), int(m.pair_geom2[i])
-    if np.any(m.pair_solreffriction[i]):
-      raise NotImplementedError(
-        f"pair {i}: solreffriction is not supported (friction rows share "
-        "the pair's solref)"
-      )
     key, ga, gb = _pair_key(m, ga, gb)
     if key is None:
       raise NotImplementedError(
@@ -923,6 +918,9 @@ def put_model(
     geom_gap=arr(m.geom_gap),
     pair_friction=arr(m.pair_friction if m.npair else np.zeros((0, 5))),
     pair_solref=arr(m.pair_solref if m.npair else np.zeros((0, 2))),
+    pair_solreffriction=arr(
+      m.pair_solreffriction if m.npair else np.zeros((0, 2))
+    ),
     pair_solimp=arr(m.pair_solimp if m.npair else np.zeros((0, 5))),
     pair_margin=arr(m.pair_margin if m.npair else np.zeros(0)),
     pair_gap=arr(m.pair_gap if m.npair else np.zeros(0)),
@@ -973,6 +971,7 @@ def make_data(tp: Topology, model: Model, dtype=None) -> Data:
     solimp=jnp.tile(
       jnp.asarray([0.9, 0.95, 0.001, 0.5, 2.0], dtype=dtype), (tp.ncon_max, 1)
     ),
+    solreffriction=z(tp.ncon_max, 2),
   )
 
   eye3 = jnp.eye(3, dtype=dtype)

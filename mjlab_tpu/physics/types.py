@@ -321,6 +321,7 @@ class Model:
   # whose GeomPair.pair_id >= 0.
   pair_friction: jax.Array  # (npair, 5)
   pair_solref: jax.Array  # (npair, 2)
+  pair_solreffriction: jax.Array  # (npair, 2) zeros → use pair_solref
   pair_solimp: jax.Array  # (npair, 5)
   pair_margin: jax.Array  # (npair,)
   pair_gap: jax.Array  # (npair,)
@@ -398,6 +399,10 @@ class Contact:
   friction: jax.Array  # (C, 5)
   solref: jax.Array  # (C, 2)
   solimp: jax.Array  # (C, 5)
+  # Friction-row solref override (explicit <pair> only; all-zero rows mean
+  # "use solref"). Elliptic friction rows take their damping from this —
+  # pyramidal facets ignore it (probed vs mj_forward efc_KBIP).
+  solreffriction: jax.Array  # (C, 2)
 
 
 # ---------------------------------------------------------------------------

@@ -326,3 +326,39 @@ def test_pair_into_terrain_pool_rejected():
   mjm = mujoco.MjModel.from_xml_string(xml)
   with pytest.raises(NotImplementedError, match="terrain-pool"):
     physics.put_model(mjm, dtype=jnp.float64)
+
+
+def test_pair_solreffriction_elliptic():
+  """<pair solreffriction>: elliptic friction rows take their damping from
+  solreffriction (K=0, B from its timeconst — or direct −b when negative);
+  pyramidal facets ignore it. Trajectory parity on a sliding ball."""
+  base = """
+<mujoco><option timestep="0.002" cone="{cone}"/>
+  <worldbody>
+    <geom name="floor" type="plane" size="10 10 0.1" contype="0"
+          conaffinity="0"/>
+    <body pos="0 0 0.095"><freejoint/>
+      <geom name="ball" type="sphere" size="0.1" contype="0"
+            conaffinity="0"/></body>
+  </worldbody>
+  <contact><pair geom1="floor" geom2="ball" condim="3"
+                 friction="0.8 0.8 0.005 0 0" solref="0.02 1"
+                 solreffriction="0.05 0.4"/></contact>
+</mujoco>"""
+  for cone in ("elliptic", "pyramidal"):
+    mjm = mujoco.MjModel.from_xml_string(base.format(cone=cone))
+    mjd = mujoco.MjData(mjm)
+    mjd.qvel[0] = 0.6
+    tp, model = physics.put_model(mjm, dtype=jnp.float64)
+    step = jax.jit(functools.partial(physics.step, tp))
+    d = physics.make_data(tp, model)
+    d = d.replace(qvel=jnp.asarray(mjd.qvel.copy()))
+    for _ in range(150):
+      mujoco.mj_step(mjm, mjd)
+      d = step(model, d)
+    np.testing.assert_allclose(
+      np.asarray(d.qpos), mjd.qpos, atol=1e-8, err_msg=cone
+    )
+    np.testing.assert_allclose(
+      np.asarray(d.qvel), mjd.qvel, atol=1e-7, err_msg=cone
+    )
