@@ -72,8 +72,39 @@ class ViserViewer(BaseViewer):
         self._plotter = ViserRewardPlotter(self._server, reward_terms)
 
     self._scene.create_geom_groups_gui(tabs)
+    # Browser-side drag perturbation (beyond the reference viser stack).
+    self._scene.enable_perturbation()
     self._prev_env_idx = self._scene.env_idx
     self._update_status_display()
+
+  def sync_viewer_to_env(self) -> None:
+    """Apply the browser drag-gizmo spring force to the selected env
+    (counterpart of the native viewer's ctrl-drag xfrc sync)."""
+    if self._scene is None:
+      return
+    import jax.numpy as jnp
+
+    perturb = self._scene.pop_perturbation()
+    data = self.env.state.data
+    if perturb is None:
+      if getattr(self, "_perturb_was_active", False):
+        self._perturb_was_active = False
+        self.env.state = self.env.state.replace(
+          data=data.replace(xfrc_applied=jnp.zeros_like(data.xfrc_applied))
+        )
+      return
+
+    body, force = perturb
+    self._perturb_was_active = True
+    xfrc = np.zeros(data.xfrc_applied.shape[1:], dtype=np.float64)
+    xfrc[body, :3] = force
+    self.env.state = self.env.state.replace(
+      data=data.replace(
+        xfrc_applied=data.xfrc_applied.at[self.env_idx].set(
+          jnp.asarray(xfrc, dtype=data.xfrc_applied.dtype)
+        )
+      )
+    )
 
   def _build_controls(self) -> None:
     gui = self._server.gui

@@ -626,6 +626,78 @@ class ViserMjScene:
       self._force_shaft_handle.visible = False
       self._force_head_handle.visible = False
 
+  # -- browser-side perturbation (beyond the reference: its viser stack has
+  # no interaction path — sync_viewer_to_env is a pass; ours mirrors the
+  # native viewer's ctrl-drag through a click-to-attach drag gizmo) --------
+
+  def enable_perturbation(
+    self, stiffness_scale: float = 20.0, pick_radius: float = 0.25
+  ) -> None:
+    """Click near a mobile body to attach a transform gizmo; while the
+    gizmo is dragged, `pop_perturbation()` yields a spring force pulling
+    the body toward it. Click empty space to release."""
+    self._perturb_body: int | None = None
+    self._perturb_gizmo = None
+    self._perturb_stiffness = stiffness_scale
+    self._pick_radius = pick_radius
+
+    handler = self._server.scene.on_pointer_event(event_type="click")
+    handler(self._on_perturb_click)
+
+  def _on_perturb_click(self, event) -> None:
+    if self._last_body_xpos is None:
+      return
+    o = np.asarray(event.ray_origin, dtype=np.float64)
+    d = np.asarray(event.ray_direction, dtype=np.float64)
+    d = d / max(np.linalg.norm(d), 1e-12)
+    e = min(self.env_idx, self._last_body_xpos.shape[0] - 1)
+    best, best_dist = None, self._pick_radius
+    for body_id in range(1, self._model.nbody):
+      if is_fixed_body(self._model, body_id):
+        continue
+      p = self._last_body_xpos[e, body_id] + self._scene_offset
+      t = float(np.dot(p - o, d))
+      if t <= 0:
+        continue
+      miss = float(np.linalg.norm(p - (o + t * d)))
+      if miss < best_dist:
+        best, best_dist = body_id, miss
+    if best is None:
+      self.clear_perturbation()
+      return
+    self._perturb_body = best
+    pos = self._last_body_xpos[e, best] + self._scene_offset
+    if self._perturb_gizmo is None:
+      self._perturb_gizmo = self._server.scene.add_transform_controls(
+        "/perturb/gizmo", scale=0.35, disable_rotations=True,
+        position=tuple(pos),
+      )
+    else:
+      self._perturb_gizmo.position = tuple(pos)
+      self._perturb_gizmo.visible = True
+
+  def clear_perturbation(self) -> None:
+    self._perturb_body = None
+    if self._perturb_gizmo is not None:
+      self._perturb_gizmo.visible = False
+
+  def pop_perturbation(self) -> tuple[int, np.ndarray] | None:
+    """(body_id, world-frame force) of the active drag, or None.
+
+    Spring toward the gizmo, scaled by subtree mass so the pull feels
+    uniform across bodies (native viewer parity)."""
+    if getattr(self, "_perturb_body", None) is None or self._perturb_gizmo is None:
+      return None
+    if self._last_body_xpos is None:
+      return None
+    e = min(self.env_idx, self._last_body_xpos.shape[0] - 1)
+    body = self._perturb_body
+    pos = self._last_body_xpos[e, body] + self._scene_offset
+    target = np.asarray(self._perturb_gizmo.position, dtype=np.float64)
+    mass = float(self._model.body_subtreemass[body])
+    force = self._perturb_stiffness * mass * (target - pos)
+    return body, force
+
   # -- DebugVisualizer protocol (reference viser_scene.py DebugVisualizer) -----
 
   def add_arrow(self, from_pos, to_pos, color=(1, 0, 0, 1), width=0.015) -> None:

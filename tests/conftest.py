@@ -28,8 +28,12 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
-# Persistent compilation cache: this host is single-core and XLA compiles of
-# robot-scale models take minutes; cache them across test runs.
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_mjlab")
+# Persistent compilation cache: XLA compiles of robot-scale models take
+# minutes on small hosts; cache them across test runs (and across CI runs
+# via actions/cache — see .github/workflows/ci.yml).
+_cache_dir = os.environ.get(
+  "MJLAB_COMPILE_CACHE", os.path.expanduser("~/.cache/jax_mjlab")
+)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -92,6 +92,18 @@ class _FakeScene:
   def add_batched_meshes_simple(self, name, vertices, faces, **kw):
     return self._add(name, vertices=vertices, faces=faces, **kw)
 
+  def add_transform_controls(self, name, **kw):
+    return self._add(name, kind="transform_controls", **kw)
+
+  def on_pointer_event(self, event_type="click"):
+    server = self._server
+
+    def register(fn):
+      server._pointer_handlers.append(fn)
+      return fn
+
+    return register
+
 
 class _FakeGui:
   def __init__(self):
@@ -153,9 +165,11 @@ class _FakeClient:
 class FakeServer:
   def __init__(self):
     self.scene = _FakeScene()
+    self.scene._server = self
     self.gui = _FakeGui()
     self._clients = {0: _FakeClient()}
     self._connect_cbs = []
+    self._pointer_handlers = []
 
   def atomic(self):
     return _Ctx(self)
@@ -394,3 +408,45 @@ def test_conversions_merge_and_material_colors(go1_model):
   rgba = geom_rgba(m, 0)
   assert rgba.shape == (4,)
   assert (rgba >= 0).all() and (rgba <= 1).all()
+
+
+def test_browser_perturbation_drag(scene):
+  """Click-to-attach drag gizmo: picks the nearest mobile body along the
+  pointer ray, spring force toward the gizmo scaled by subtree mass, empty
+  click releases (beyond the reference: its viser stack has no interaction
+  path)."""
+  server, sc, model = scene
+  xpos, xquat = _poses(model, 3)
+  sc.update(xpos, xquat, env_idx=0)
+  sc.enable_perturbation(stiffness_scale=10.0)
+  assert server._pointer_handlers, "no pointer handler registered"
+
+  # Aim a ray straight at the tracked (first mobile) body from above.
+  body = sc._tracked_body_id
+  target = xpos[0, body]
+
+  class Ev:
+    ray_origin = tuple(target + np.array([0.0, 0.0, 2.0]))
+    ray_direction = (0.0, 0.0, -1.0)
+
+  server._pointer_handlers[0](Ev)
+  assert sc._perturb_body == body
+  assert sc._perturb_gizmo is not None
+
+  # Drag the gizmo 0.2 m in +x: spring force = k * m_subtree * dx.
+  sc._perturb_gizmo.position = tuple(target + np.array([0.2, 0.0, 0.0]))
+  got = sc.pop_perturbation()
+  assert got is not None
+  bid, force = got
+  assert bid == body
+  expected = 10.0 * float(model.body_subtreemass[body]) * 0.2
+  np.testing.assert_allclose(force, [expected, 0.0, 0.0], atol=1e-9)
+
+  # Click into empty space → release.
+  class Miss:
+    ray_origin = (50.0, 50.0, 2.0)
+    ray_direction = (0.0, 0.0, -1.0)
+
+  server._pointer_handlers[0](Miss)
+  assert sc._perturb_body is None
+  assert sc.pop_perturbation() is None
