@@ -73,6 +73,19 @@ def _implicit_matrix(tp: Topology, m: Model, d: Data) -> jax.Array:
     anc = np.asarray(tp.dof_ancestor_mask)
     sparsity = jnp.asarray(anc | anc.T, dtype=d.qpos.dtype)
     mat = mat + h * sparsity * ((d.ten_J.T * m.tendon_damping) @ d.ten_J)
+  if m.opt.integrator == Integrator.IMPLICITFAST and tp.has_fluid:
+    # Fluid-drag velocity derivative ∂qfrc_fluid/∂qvel (mjd_passive_vel's
+    # fluid term), obtained by forward-mode AD through com_vel ∘ fluid —
+    # exact for the inertia-box model incl. the |v|·v quadratic drag —
+    # and masked to M's tree sparsity like the tendon term above.
+    def _qfrc_fluid(qvel):
+      dd = smooth.com_vel(tp, m, d.replace(qvel=qvel))
+      return smooth._fluid_box(tp, m, dd)
+
+    Dfl = jax.jacfwd(_qfrc_fluid)(d.qvel)  # (nv, nv)
+    anc = np.asarray(tp.dof_ancestor_mask)
+    sparsity = jnp.asarray(anc | anc.T, dtype=d.qpos.dtype)
+    mat = mat - h * sparsity * Dfl
   return mat
 
 

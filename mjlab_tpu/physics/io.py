@@ -588,10 +588,8 @@ def put_model(
     # Per-geom ellipsoid fluid interaction; only the body-level
     # inertia-box model (MuJoCo's default) is implemented.
     raise NotImplementedError("fluidshape='ellipsoid' geoms are not supported")
-  if has_fluid and integrator == Integrator.IMPLICITFAST:
-    # implicit(fast) folds the fluid-drag ∂f/∂v into the integration
-    # matrix (mjd_passive_vel); that derivative is not modeled here.
-    raise NotImplementedError("fluid forces require the Euler integrator")
+  # Fluid forces under implicitfast: the drag ∂f/∂v enters the integration
+  # matrix via jacfwd through the box model (forward._implicit_matrix).
   if int(m.opt.noslip_iterations) > 0:
     raise NotImplementedError("noslip post-solver is not supported")
   for u in range(m.nu):

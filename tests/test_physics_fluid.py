@@ -14,7 +14,8 @@ from mjlab_tpu import physics
 
 _XML = """
 <mujoco>
-  <option gravity="0 0 -9.81" timestep="0.002" {fluid}/>
+  <option gravity="0 0 -9.81" timestep="0.002" integrator="{integrator}"
+          {fluid}/>
   <worldbody>
     <body name="torso" pos="0 0 1">
       <freejoint/>
@@ -42,9 +43,13 @@ _FLUIDS = {
 }
 
 
+@pytest.mark.parametrize("integrator", ["Euler", "implicitfast"])
 @pytest.mark.parametrize("fluid", sorted(_FLUIDS))
-def test_fluid_trajectory_parity(fluid):
-  xml = _XML.format(fluid=_FLUIDS[fluid])
+def test_fluid_trajectory_parity(fluid, integrator):
+  """Fluid passive-force parity, plus (implicitfast) the fluid-drag
+  velocity derivative folded into the integration matrix via jacfwd
+  (forward._implicit_matrix; r2 rejected this combination)."""
+  xml = _XML.format(fluid=_FLUIDS[fluid], integrator=integrator)
   mjm = mujoco.MjModel.from_xml_string(xml)
   mjd = mujoco.MjData(mjm)
   rng = np.random.default_rng(9)
