@@ -43,7 +43,7 @@ _FLUIDS = {
 }
 
 
-@pytest.mark.parametrize("integrator", ["Euler", "implicitfast"])
+@pytest.mark.parametrize("integrator", ["Euler", "implicitfast", "RK4"])
 @pytest.mark.parametrize("fluid", sorted(_FLUIDS))
 def test_fluid_trajectory_parity(fluid, integrator):
   """Fluid passive-force parity, plus (implicitfast) the fluid-drag
