@@ -92,20 +92,37 @@ def test_actdyn_trajectory_parity(integrator, actuators):
   np.testing.assert_allclose(np.asarray(d.qvel), mjd.qvel, atol=1e-7)
 
 
-def test_muscle_dyntype_rejected():
+def test_muscle_dyntype_accepted_and_steps():
+  """Muscle dyntype is a supported activation dynamics path (was rejected
+  before physics/muscle.py landed; deep parity lives in
+  test_physics_muscle.py). Short trajectory parity vs mj_step here to pin
+  the actdyn integration point specifically."""
   xml = """
   <mujoco>
+    <option timestep="0.002"/>
     <worldbody>
-      <body><joint name="j" type="hinge"/>
-        <geom type="sphere" size="0.05" contype="0" conaffinity="0"/></body>
+      <body pos="0 0 1"><joint name="j" type="hinge" axis="0 1 0" damping="0.1"
+              range="-1.2 1.2" limited="true"/>
+        <geom type="capsule" fromto="0 0 0 0.3 0 0" size="0.04" density="900"
+              contype="0" conaffinity="0"/></body>
     </worldbody>
-    <actuator><general joint="j" dyntype="muscle"
-      dynprm="0.01 0.04 0 0 0 0 0 0 0 0"/></actuator>
+    <actuator><muscle joint="j" timeconst="0.01 0.04"/></actuator>
   </mujoco>
   """
   mjm = mujoco.MjModel.from_xml_string(xml)
-  with pytest.raises(NotImplementedError, match="dyntype"):
-    physics.put_model(mjm, dtype=jnp.float64)
+  mjd = mujoco.MjData(mjm)
+  tp, model = physics.put_model(mjm, dtype=jnp.float64)
+  assert tp.na == 1
+  d = physics.make_data(tp, model)
+  for k in range(50):
+    ctrl = np.array([0.5 + 0.5 * np.sin(0.1 * k)])
+    mjd.ctrl[:] = ctrl
+    mujoco.mj_step(mjm, mjd)
+    d = d.replace(ctrl=jnp.asarray(ctrl))
+    d = physics.step(tp, model, d)
+  np.testing.assert_allclose(np.asarray(d.act), mjd.act, atol=1e-10)
+  np.testing.assert_allclose(np.asarray(d.qpos), mjd.qpos, atol=1e-9)
+  np.testing.assert_allclose(np.asarray(d.qvel), mjd.qvel, atol=1e-8)
 
 
 # ---------------------------------------------------------------------------
