@@ -43,33 +43,42 @@ def _make_env(task: str, num_envs: int):
 
 
 def _bench_eval(task: str, num_envs: int, steps: int, warmup: int) -> dict:
-  """Bare env stepping with a fixed random action."""
+  """Bare env stepping with per-step resampled random actions.
+
+  Actions are pre-generated as separate device buffers BEFORE the timed
+  region (each eager op is its own relay program; generating inline would
+  double the dispatch count) so the timed loop issues exactly one program
+  per step while still exercising a fresh action every step — a frozen
+  pipeline can't hide behind a constant input (VERDICT r3 item 10).
+  """
   import jax
 
   env = _make_env(task, num_envs)
   env.reset(seed=0)
-  key = jax.random.key(0)
-  action = 0.1 * jax.random.normal(
-    key, (num_envs, env.action_manager.total_action_dim), dtype=env.dtype
-  )
+  act_shape = (num_envs, env.action_manager.total_action_dim)
+  keys = jax.random.split(jax.random.key(0), warmup + steps + 1)
+  actions = [
+    0.1 * jax.random.normal(k, act_shape, dtype=env.dtype) for k in keys
+  ]
 
-  packed_mode = os.environ.get("BENCH_PACKED") == "1"
+  packed_mode = os.environ.get("BENCH_PACKED", "1") == "1"
   if packed_mode:
     # Flat-buffer stepping API (build_packed_step): ~25 leaf crossings per
-    # call instead of ~200 — measures the relay's per-leaf marshaling cost
-    # (docs/PERF_NOTES.md). Math-identical (tests/test_packed_step.py).
+    # call instead of ~200 — the default since it measured 4.0x faster on
+    # the relay (42.6M vs 10.7M env-steps/s, tools/AB_RESULTS_r3.jsonl).
+    # Math-identical (tests/test_packed_step.py). Opt out: BENCH_PACKED=0.
     jit_packed, pack_s, unpack_s, _ = env.build_packed_step()
     packed = pack_s(env.state)
     tc = time.perf_counter()
-    packed, out = jit_packed(packed, action)
+    packed, out = jit_packed(packed, actions[-1])
     jax.block_until_ready(out[0].get("f32"))
     compile_s = time.perf_counter() - tc
-    for _ in range(warmup):
-      packed, out = jit_packed(packed, action)
+    for i in range(warmup):
+      packed, out = jit_packed(packed, actions[i])
     jax.block_until_ready(out[0].get("f32"))
     t0 = time.perf_counter()
-    for _ in range(steps):
-      packed, out = jit_packed(packed, action)
+    for i in range(steps):
+      packed, out = jit_packed(packed, actions[warmup + i])
     jax.block_until_ready(out[0].get("f32"))
     dt = time.perf_counter() - t0
     state = unpack_s(packed)
@@ -77,28 +86,32 @@ def _bench_eval(task: str, num_envs: int, steps: int, warmup: int) -> dict:
     state = env.state
     step = env._jit_step
     tc = time.perf_counter()
-    state, out = step(state, action)
+    state, out = step(state, actions[-1])
     jax.block_until_ready(out[1])
     compile_s = time.perf_counter() - tc
-    for _ in range(warmup):
-      state, out = step(state, action)
+    for i in range(warmup):
+      state, out = step(state, actions[i])
     jax.block_until_ready(out[1])
 
     t0 = time.perf_counter()
-    for _ in range(steps):
-      state, out = step(state, action)
+    for i in range(steps):
+      state, out = step(state, actions[warmup + i])
     jax.block_until_ready(out[1])
     dt = time.perf_counter() - t0
   env_steps_per_s = num_envs * steps / dt
 
-  # Sanity: physics stayed finite. (This device→host pull happens AFTER the
-  # timed region — on the axon runtime any D2H permanently slows the device,
-  # see docs/PERF_NOTES.md.)
+  # Sanity: the whole physics pipeline stayed finite — qpos, qvel AND
+  # sensordata (obs sources), so a NaN'd or frozen stage can't hide behind
+  # the headline. (This device→host pull happens AFTER the timed region —
+  # on the axon runtime any D2H permanently slows the device, see
+  # docs/PERF_NOTES.md.)
   import numpy as np
 
-  qpos = np.asarray(jax.device_get(state.data.qpos))
-  finite = bool(np.isfinite(qpos).all())
-  del env, state, out
+  finite = all(
+    bool(np.isfinite(np.asarray(jax.device_get(arr))).all())
+    for arr in (state.data.qpos, state.data.qvel, state.data.sensordata)
+  )
+  del env, state, out, actions
   return {
     "metric": f"env_steps_per_s ({task}, {num_envs} envs, "
     f"{jax.devices()[0].platform}, finite={finite})",

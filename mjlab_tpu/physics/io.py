@@ -913,7 +913,6 @@ def put_model(
     geom_solimp=arr(m.geom_solimp),
     geom_solmix=arr(m.geom_solmix),
     geom_margin=arr(m.geom_margin),
-    geom_gap=arr(m.geom_gap),
     pair_friction=arr(m.pair_friction if m.npair else np.zeros((0, 5))),
     pair_solref=arr(m.pair_solref if m.npair else np.zeros((0, 2))),
     pair_solreffriction=arr(
@@ -921,7 +920,6 @@ def put_model(
     ),
     pair_solimp=arr(m.pair_solimp if m.npair else np.zeros((0, 5))),
     pair_margin=arr(m.pair_margin if m.npair else np.zeros(0)),
-    pair_gap=arr(m.pair_gap if m.npair else np.zeros(0)),
     site_pos=arr(m.site_pos),
     site_quat=arr(m.site_quat),
     actuator_gainprm=arr(m.actuator_gainprm),

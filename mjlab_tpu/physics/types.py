@@ -313,8 +313,10 @@ class Model:
   geom_solref: jax.Array
   geom_solimp: jax.Array
   geom_solmix: jax.Array
+  # NOTE: geom_gap/pair_gap are intentionally NOT carried: includemargin is
+  # margin alone (MuJoCo >= 3.10 semantics, collision.py), so gap never
+  # reaches device code — pyproject pins mujoco>=3.10 accordingly.
   geom_margin: jax.Array
-  geom_gap: jax.Array
 
   # Explicit <pair> contact parameters (npair rows; empty when the model
   # declares none). Consumed by collision._combine_params_vec for pairs
@@ -324,7 +326,6 @@ class Model:
   pair_solreffriction: jax.Array  # (npair, 2) zeros → use pair_solref
   pair_solimp: jax.Array  # (npair, 5)
   pair_margin: jax.Array  # (npair,)
-  pair_gap: jax.Array  # (npair,)
 
   site_pos: jax.Array
   site_quat: jax.Array

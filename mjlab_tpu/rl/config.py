@@ -78,7 +78,10 @@ class RlOnPolicyRunnerCfg:
   # permutation + every minibatch SGD step) as one jitted call instead of
   # num_mini_batches calls. Both are math-identical to the unchunked path
   # (pinned by tests/test_runner_modes.py).
-  rollout_chunk: int = 1
+  # rollout_chunk=8 is the measured winner on the relay (train 1.94M →
+  # 5.37M env-steps/s at 4096 envs, tools/AB_RESULTS_r3.jsonl) and is
+  # harmless elsewhere: the fused path (real hardware default) ignores it.
+  rollout_chunk: int = 8
   epoch_chunk: bool = False
   # Pack the host-loop rollout carry (env state + obs + params + norms +
   # transition buffers) into a few flat dtype buffers at the jit boundary

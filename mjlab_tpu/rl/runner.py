@@ -103,7 +103,11 @@ class OnPolicyRunner:
     if fused is None:
       # Auto: the tunneled 'axon' relay executes scan-over-env programs
       # ~2600x slower than eagerly dispatched steps (docs/PERF_NOTES.md).
-      fused = "axon" not in os.environ.get("JAX_PLATFORMS", "")
+      # Probe the actual PJRT client, NOT the JAX_PLATFORMS env var — the
+      # var is often unset even when the relay is active (VERDICT r3 #1).
+      from mjlab_tpu.utils.backend import is_relay_backend
+
+      fused = not is_relay_backend()
     if fused:
       self._train_iter = jax.jit(self._train_iteration)
     else:

@@ -6,6 +6,7 @@ replicated, and produces the same numbers as the unsharded run (XLA
 inserts the cross-device collectives)."""
 
 import os
+import pathlib
 import sys
 
 import jax
@@ -13,7 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 
 def _make_runner(num_envs: int):
@@ -200,7 +201,9 @@ def test_two_process_multihost_end_to_end():
 import os, sys
 import jax
 jax.config.update("jax_platforms", "cpu")
-sys.path.insert(0, "/root/repo")
+# Repo root (for uninstalled checkouts) is handed down via MJLAB_REPO_ROOT.
+if os.environ.get("MJLAB_REPO_ROOT"):
+  sys.path.insert(0, os.environ["MJLAB_REPO_ROOT"])
 from mjlab_tpu.distributed import multihost
 
 assert multihost.initialize_multihost() is True
@@ -226,6 +229,7 @@ print(f"proc{pid} OK offset={multihost.global_env_offset(256)}", flush=True)
       JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
       JAX_NUM_PROCESSES="2",
       JAX_PROCESS_ID=str(pid),
+      MJLAB_REPO_ROOT=str(pathlib.Path(__file__).resolve().parents[1]),
     )
     procs.append(
       subprocess.Popen(
