@@ -150,6 +150,13 @@ class ManagerBasedRlEnv(ManagerBasedEnv, gym.Env):
 
     log.update(self.step_log)
     log["reset_count"] = jnp.sum(reset_buf.astype(jnp.int32))
+    # Terrain contact-pool saturation telemetry (physics/collision.py
+    # select): active contacts dropped by slot capacity on the last physics
+    # substep, summed over envs. Nonzero here means the task cfg's terrain
+    # slot count is too small and contacts are being silently lost.
+    log["Metrics/physics/terrain_slots_dropped"] = jnp.sum(
+      self._data.ncon_dropped
+    ).astype(jnp.float32)
     new_state = self._pack_state()
     return new_state, (obs_buf, reward_buf, terminated, time_outs, log)
 

@@ -738,13 +738,32 @@ def _terrain_group_contacts(tp: Topology, m: Model, d: Data, tg: TerrainGroup):
     return jnp.stack(sels)
 
   sel = jax.vmap(select)(dist, pos[..., :2], rho)  # (R, slots)
+
+  # Contact parameters for the terrain geoms (per candidate before the
+  # gather — the saturation count below needs per-candidate margins).
+  friction, solref, solimp, inclm = _combine_params_terrain(tp, m, tg, ids)
+  expand = lambda a: jnp.repeat(a, k, axis=1)  # (R, K*k, ...)
+
+  # Slot-saturation telemetry (VERDICT r3 item 9): count ACTIVE candidates
+  # (dist < includemargin → would have become constraint rows) that were
+  # neither selected nor lateral-diversity-suppressed near a selected
+  # contact — i.e. genuine contact points lost to tg.slots capacity. Greedy
+  # selection guarantees such a candidate only exists when every slot was
+  # consumed first.
+  active = dist < expand(inclm[..., None])[..., 0]  # (R, nc)
+  sel_xy = jnp.take_along_axis(pos[..., :2], sel[..., None], axis=1)
+  d2 = jnp.sum(
+    (pos[:, :, None, :2] - sel_xy[:, None, :, :]) ** 2, axis=-1
+  )  # (R, nc, slots)
+  near_sel = jnp.any(d2 < (rho[:, None, None] ** 2), axis=-1)
+  is_sel = jnp.any(
+    jnp.arange(nc)[None, :, None] == sel[:, None, :], axis=-1
+  )
+  dropped = jnp.sum(active & ~near_sel & ~is_sel).astype(jnp.int32)
+
   dist = jnp.take_along_axis(dist, sel, axis=1)
   pos = jnp.take_along_axis(pos, sel[..., None], axis=1)
   frame = jnp.take_along_axis(frame, sel[..., None, None], axis=1)
-
-  # Contact parameters for the selected candidates' terrain geoms.
-  friction, solref, solimp, inclm = _combine_params_terrain(tp, m, tg, ids)
-  expand = lambda a: jnp.repeat(a, k, axis=1)  # (R, K*k, ...)
   gather = lambda a: jnp.take_along_axis(
     expand(a), sel.reshape(R, tg.slots, *([1] * (a.ndim - 2))), axis=1
   )
@@ -756,7 +775,7 @@ def _terrain_group_contacts(tp: Topology, m: Model, d: Data, tg: TerrainGroup):
   flat = lambda a: a.reshape((R * tg.slots,) + a.shape[2:])
   return (
     flat(dist), flat(pos), flat(frame), flat(friction), flat(solref),
-    flat(solimp), flat(inclm),
+    flat(solimp), flat(inclm), dropped,
   )
 
 
@@ -812,10 +831,11 @@ def collision(tp: Topology, m: Model, d: Data) -> Data:
     imps.append(jnp.repeat(solimp, k, axis=0))
     margins.append(jnp.repeat(inclmargin, k, axis=0))
     freffs.append(jnp.repeat(sreff, k, axis=0))
+  ncon_dropped = jnp.zeros((), jnp.int32)
   for tg in tp.terrain_groups:
-    dist, pos, frame, friction, solref, solimp, inclm = _terrain_group_contacts(
-      tp, m, d, tg
-    )
+    (dist, pos, frame, friction, solref, solimp, inclm,
+     dropped) = _terrain_group_contacts(tp, m, d, tg)
+    ncon_dropped = ncon_dropped + dropped
     dists.append(dist)
     poss.append(pos)
     frames.append(frame)
@@ -834,4 +854,4 @@ def collision(tp: Topology, m: Model, d: Data) -> Data:
     solimp=jnp.concatenate(imps),
     solreffriction=jnp.concatenate(freffs),
   )
-  return d.replace(contact=contact)
+  return d.replace(contact=contact, ncon_dropped=ncon_dropped)

@@ -1029,6 +1029,7 @@ def make_data(tp: Topology, model: Model, dtype=None) -> Data:
     sensordata=z(tp.nsensordata),
     subtree_linvel=z(tp.nbody, 3),
     subtree_angmom=z(tp.nbody, 3),
+    ncon_dropped=jnp.zeros((), jnp.int32),
   )
 
 

@@ -490,3 +490,9 @@ class Data:
   # Subtree dynamics (for subtree momentum sensors).
   subtree_linvel: jax.Array  # (nbody, 3)
   subtree_angmom: jax.Array  # (nbody, 3)
+
+  # Diagnostics: active terrain-pool contact candidates dropped this step
+  # because the per-geom slot capacity was saturated (scalar int32; counted
+  # in collision._terrain_group_contacts, surfaced as
+  # extras["log"]["Metrics/physics/terrain_slots_dropped"]).
+  ncon_dropped: jax.Array

@@ -51,11 +51,19 @@ class RunnerState:
 class OnPolicyRunner:
   """JAX PPO runner over a ManagerBasedRlEnv."""
 
-  def __init__(self, env, cfg: RlOnPolicyRunnerCfg, log_dir: str | None = None):
+  def __init__(self, env, cfg: RlOnPolicyRunnerCfg, log_dir: str | None = None,
+               mesh=None):
     self.env = env
     self.cfg = cfg
     self.log_dir = log_dir
     self.iteration = 0
+    self.mesh = mesh if (mesh is not None and mesh.size > 1) else None
+    self.last_metrics: dict[str, float] | None = None
+    if self.mesh is not None and env.num_envs % self.mesh.size:
+      raise ValueError(
+        f"num_envs={env.num_envs} not divisible by mesh size "
+        f"{self.mesh.size}; env-axis sharding needs equal shards per device."
+      )
 
     obs_dims = env.observation_manager.group_obs_dim
     self.num_actor_obs = int(obs_dims["policy"][-1])
@@ -96,6 +104,14 @@ class OnPolicyRunner:
       critic_norm=RunningNorm.create(self.num_critic_obs),
       rng=key,
     )
+    if self.mesh is not None:
+      # Env-axis data parallelism (SURVEY §2.10 "must build"): env state and
+      # obs shard along the mesh's env axis, learner params/normalizers
+      # replicate, and XLA inserts the psum/all-gather collectives for batch
+      # reductions inside the jitted train iteration.
+      from mjlab_tpu.distributed import shard_batched_pytree
+
+      self.state = shard_batched_pytree(self.state, self.mesh, env.num_envs)
     # NOTE: no buffer donation — donating the RunnerState makes the axon TPU
     # relay ~4000x slower per call (1.5 ms → 5.8 s measured; see
     # docs/PERF_NOTES.md). The extra state copy is cheap next to that.
@@ -250,6 +266,25 @@ class OnPolicyRunner:
         jax.tree_util.tree_map(alloc, tr_shape),
         jax.tree_util.tree_map(alloc, extra_shape),
       )
+      if self.mesh is not None:
+        # (T, num_envs, ...) buffers shard along the env axis (dim 1) so
+        # the accum steps never reshard the sharded carry against
+        # replicated buffers.
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        axis = self.mesh.axis_names[0]
+        n_env = self.env.num_envs
+
+        def place(buf):
+          if buf.ndim >= 2 and buf.shape[1] == n_env:
+            return jax.device_put(
+              buf, NamedSharding(self.mesh, P(None, axis))
+            )
+          return buf
+
+        self._rollout_buffers = jax.tree_util.tree_map(
+          place, self._rollout_buffers
+        )
     batch, extras = self._rollout_buffers
     k = max(1, cfg.rollout_chunk)
     if cfg.packed_hostloop:
@@ -454,13 +489,17 @@ class OnPolicyRunner:
     whole run. Set deferred_logging=False on runtimes without that quirk
     for live console/tensorboard output.
     """
+    import contextlib
+
     steps_per_iter = self.cfg.num_steps_per_env * self.env.num_envs
     device_metrics: list = []
     iter_times: list[float] = []
     start_iter = self.iteration
+    mesh_ctx = self.mesh if self.mesh is not None else contextlib.nullcontext()
     for _ in range(num_iterations):
       t0 = time.perf_counter()
-      self.state, metrics = self._train_iter(self.state)
+      with mesh_ctx:
+        self.state, metrics = self._train_iter(self.state)
       if deferred_logging:
         device_metrics.append(metrics)
         if self.iteration % log_interval == 0:
@@ -510,6 +549,13 @@ class OnPolicyRunner:
         self._log_metrics(
           {k: float(np.asarray(v)) for k, v in host.items()}, step=start_iter + i
         )
+      self.last_metrics = {
+        k: float(np.asarray(v)) for k, v in host_metrics[-1].items()
+      }
+    elif not deferred_logging and num_iterations > 0:
+      self.last_metrics = {
+        k: float(np.asarray(v)) for k, v in jax.device_get(metrics).items()
+      }
     # Hand the (donated-through) env state back to the env so host-side use
     # (reset, viewers, manager reads) sees live buffers.
     self.env.state = self.state.env_state

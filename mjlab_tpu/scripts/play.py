@@ -36,6 +36,14 @@ def apply_play_overrides(env_cfg) -> None:
 
 
 def run_play(task: str, overrides: dict[str, str]) -> None:
+  # Honor JAX_PLATFORMS=cpu before backend init (the tunneled TPU plugin
+  # only respects the config value — see scripts/train.py).
+  import os
+
+  if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
   import jax
   import jax.numpy as jnp
 
@@ -45,10 +53,18 @@ def run_play(task: str, overrides: dict[str, str]) -> None:
 
   env_cfg = tasks.load_cfg_from_registry(task, "env_cfg_entry_point")
   agent_cfg = tasks.load_cfg_from_registry(task, "rl_cfg_entry_point")
+  agent_over = {k[6:]: v for k, v in overrides.items() if k.startswith("agent.")}
+  apply_overrides(agent_cfg, agent_over)
   apply_play_overrides(env_cfg)
   env_cfg.scene.num_envs = int(overrides.pop("num_envs", "1"))
   env_over = {k[4:]: v for k, v in overrides.items() if k.startswith("env.")}
   apply_overrides(env_cfg, env_over)
+
+  # First-class motion-file flag for tracking tasks (see train.py; the
+  # reference's wandb-registry download path is descoped — docs/FAQ.md).
+  motion = overrides.get("motion_file") or overrides.get("motion-file")
+  if motion:
+    apply_overrides(env_cfg, {"commands.motion.motion_file": motion})
 
   policy_kind = overrides.get("policy", "trained" if "checkpoint" in overrides
                               else "zero")

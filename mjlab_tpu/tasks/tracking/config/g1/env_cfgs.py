@@ -29,7 +29,11 @@ def G1_FLAT_TRACKING_ENV_CFG() -> ManagerBasedRlEnvCfg:
     robot_cfg=get_g1_robot_cfg(),
     action_scale=G1_ACTION_SCALE,
     viewer_body_name="torso_link",
-    motion_file="",  # supplied by the train/play script
+    # Set via `train/play ... --motion-file <path.npz>` (local file from
+    # scripts/csv_to_npz.py; the reference's wandb-registry download is
+    # descoped — docs/FAQ.md). Building the env with this left empty raises
+    # with that instruction (tracking/mdp/commands.py).
+    motion_file="",
     anchor_body_name="torso_link",
     body_names=(
       "pelvis",

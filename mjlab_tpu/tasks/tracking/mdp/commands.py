@@ -62,8 +62,10 @@ class MotionCommand(CommandTerm):
     super().__init__(cfg, env)
     if not cfg.motion_file:
       raise ValueError(
-        "MotionCommandCfg.motion_file is empty — set it before building the "
-        "env (the train script passes --motion-file)."
+        "MotionCommandCfg.motion_file is empty — pass a local motion npz "
+        "via `train/play <Task> --motion-file <path.npz>` (produce one with "
+        "scripts/csv_to_npz.py, or tasks.tracking.motions."
+        "make_standing_motion for a synthetic test motion)."
       )
     self.robot = env.scene[cfg.asset_name]
     self.robot_anchor_body_index = self.robot.body_names.index(cfg.anchor_body_name)

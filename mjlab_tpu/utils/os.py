@@ -1,6 +1,8 @@
 """Filesystem helpers: checkpoint resolution, yaml dump
-(reference utils/os.py:52-113; the wandb download path is stubbed until a
-network-enabled deployment)."""
+(reference utils/os.py:52-113). The reference's wandb artifact download
+(utils/os.py:87-113) is DESCOPED — no wandb/egress in this deployment;
+artifacts are local files (docs/FAQ.md "Where is the wandb
+artifact-registry download?")."""
 
 from __future__ import annotations
 

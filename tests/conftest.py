@@ -13,20 +13,28 @@ backend is first used.
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
+# MJLAB_TEST_PLATFORM=tpu keeps the ambient accelerator backend (used to
+# record/verify the TPU golden rollouts, tests/test_golden_rollout.py);
+# default is the CPU + 8-virtual-device + f64 configuration below.
+_platform = os.environ.get("MJLAB_TEST_PLATFORM", "cpu")
+
+if _platform == "cpu":
+  os.environ["JAX_PLATFORMS"] = "cpu"
 # Headless rendering: mujoco binds its GL backend at first context creation
 # and the env var must be set before that — EGL works in this image.
 os.environ.setdefault("MUJOCO_GL", "egl")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-  os.environ["XLA_FLAGS"] = (
-    flags + " --xla_force_host_platform_device_count=8"
-  ).strip()
+if _platform == "cpu":
+  flags = os.environ.get("XLA_FLAGS", "")
+  if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+      flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+if _platform == "cpu":
+  jax.config.update("jax_platforms", "cpu")
+  jax.config.update("jax_enable_x64", True)
 
 # Persistent compilation cache: XLA compiles of robot-scale models take
 # minutes on small hosts; cache them across test runs (and across CI runs

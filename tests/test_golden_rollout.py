@@ -49,6 +49,8 @@ def _rollout(task_id: str, solver: str) -> dict[str, np.ndarray]:
   cfg = tasks.load_cfg_from_registry(task_id, "env_cfg_entry_point")
   cfg.scene.num_envs = 2
   cfg.sim.mujoco.solver = solver
+  if jax.devices()[0].platform != "cpu":
+    cfg.sim.dtype = "float32"  # TPU goldens are f32 (no f64 MXU path)
   env = ManagerBasedRlEnv(cfg)
   obs, _ = env.reset(seed=0)
   key = jax.random.key(1234)

@@ -8,30 +8,7 @@ import numpy as np
 import pytest
 
 import mjlab_tpu.tasks as tasks
-from mjlab_tpu.entity import Entity
-
-
-def make_standing_motion(robot_cfg, path, T=60, dt=0.02):
-  """FK of the init keyframe held for T frames (zero velocities)."""
-  import mujoco
-
-  entity = Entity(robot_cfg)
-  model = entity.spec.compile()
-  data = mujoco.MjData(model)
-  mujoco.mj_resetDataKeyframe(model, data, 0)
-  mujoco.mj_forward(model, data)
-  nb = model.nbody - 1  # entity bodies (world excluded)
-  np.savez(
-    path,
-    fps=np.asarray(1.0 / dt),
-    joint_pos=np.tile(data.qpos[7:], (T, 1)),
-    joint_vel=np.zeros((T, model.nv - 6)),
-    body_pos_w=np.tile(data.xpos[1:], (T, 1, 1)),
-    body_quat_w=np.tile(data.xquat[1:], (T, 1, 1)),
-    body_lin_vel_w=np.zeros((T, nb, 3)),
-    body_ang_vel_w=np.zeros((T, nb, 3)),
-  )
-  return str(path)
+from mjlab_tpu.tasks.tracking.motions import make_standing_motion
 
 
 def test_tracking_registry():

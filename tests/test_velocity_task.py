@@ -85,3 +85,6 @@ def test_asimov_rough_env_steps():
     obs, rew, term, trunc, extras = env.step(action)
   assert np.isfinite(np.asarray(obs["policy"])).all()
   assert np.isfinite(np.asarray(rew)).all()
+  # Terrain contact pools are not saturating (VERDICT r3 item 9): standing
+  # on rough terrain must not silently drop active contacts past capacity.
+  assert float(extras["log"]["Metrics/physics/terrain_slots_dropped"]) == 0.0
