@@ -784,7 +784,9 @@ def collision(tp: Topology, m: Model, d: Data) -> Data:
   runtime-broadphase terrain groups (slot order matches constraint
   slot_tables: static pairs first, terrain slots after)."""
   if tp.ncon_max == 0:
-    return d
+    # Still set the saturation counter: slim state threading drops it to
+    # None between steps and the env's step log sums it unconditionally.
+    return d.replace(ncon_dropped=jnp.zeros((), jnp.int32))
   dists, poss, frames = [], [], []
   fris, refs, imps, margins, freffs = [], [], [], [], []
   for key, group in itertools.groupby(tp.pairs, key=lambda p: (p.type1, p.type2)):
