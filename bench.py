@@ -1,37 +1,57 @@
 """Benchmark harness: env-steps/s on the flagship G1 velocity task.
 
-Driver contract (VERDICT r2 weak #1): the ONE headline JSON line
-{"metric", "value", "unit", "vs_baseline"} is printed AND flushed
-immediately after the eval measurement — before any further work — so a
-slow or hung train sweep can never cost the round its perf evidence.
-Unless BENCH_FAST=1 (or a single mode is forced via BENCH_MODE), the
-harness then measures the full-PPO training iteration and an env-count
-scaling curve under an explicit wall-clock budget (BENCH_BUDGET_S, default
-900 s measured from process start), writing BENCH_DETAIL.json
-incrementally after every row; rows that would start past the budget are
-skipped and recorded as such.
+Un-killable design (VERDICT r4 item 1). The parent process NEVER imports
+jax, so nothing can hang it: every measurement runs in a subprocess with a
+hard deadline, and the parent owns stdout. Timeline on a healthy backend:
+
+  probe (<=150 s)  -> classify healthy / degraded / dead via a timed matmul
+  provisional      -> 1024-env eval, headline printed the moment it lands
+  full headline    -> 4096-env packed eval, REPLACES the provisional line
+                      (the driver keeps the last JSON line)
+  sweep            -> train @4096 (config of record), tracking eval+train,
+                      env-count scaling; BENCH_DETAIL.json rewritten after
+                      every row, each with vs_last from tools/bench_history
+
+A degraded tunnel (alive but pathologically slow) gets a small-biped
+measurement on the accelerator; a dead tunnel falls back to the small
+biped on CPU — both print a valid headline instead of hanging. Phase
+stamps go to stderr (flushed) so a driver timeout's `tail` is a diagnosis.
 
 The reference publishes no numbers (BASELINE.md); the driver-set north star
 is >=1M env-steps/s aggregate at 4096 envs/chip, so vs_baseline is reported
 relative to that 1M env-steps/s target.
 
 Env overrides: BENCH_TASK, BENCH_NUM_ENVS, BENCH_STEPS, BENCH_WARMUP,
-BENCH_SCALE, BENCH_BUDGET_S, BENCH_TRACKING_TASK (second sweep task,
-default Mjlab-Tracking-Flat-Unitree-G1, "off" disables; its motion npz is
-a synthesized standing motion). BENCH_MODE=eval|train restricts to one
-mode at BENCH_NUM_ENVS (one line, no detail file). BENCH_FAST=1 runs the
-headline eval only.
+BENCH_SCALE, BENCH_BUDGET_S (default 900 s from process start),
+BENCH_TRACKING_TASK (second sweep task, "off" disables), BENCH_PACKED=0
+(opt out of the packed stepping API). BENCH_MODE=eval|train restricts to
+one mode at BENCH_NUM_ENVS (one line, no detail file, no probe).
+BENCH_FAST=1 runs the headline eval only (one line, no probe).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 _TARGET = 1_000_000.0  # driver north star, env-steps/s
-_T_START = time.perf_counter()  # budget clock: whole-process wall time
+_T0 = time.perf_counter()  # budget clock: whole-process wall time
+_CACHE_DIR = "/root/.cache/jax_mjlab"
+_HISTORY = os.path.join(os.path.dirname(__file__) or ".", "tools",
+                        "bench_history.jsonl")
+
+
+def _stamp(msg: str) -> None:
+  print(f"[bench +{time.perf_counter() - _T0:5.0f}s] {msg}",
+        file=sys.stderr, flush=True)
+
+
+# --------------------------------------------------------------------------
+# Child-side measurement functions (run inside a subprocess with a deadline).
+# --------------------------------------------------------------------------
 
 
 def _make_env(task: str, num_envs: int):
@@ -57,6 +77,22 @@ def _make_env(task: str, num_envs: int):
   return ManagerBasedRlEnv(cfg)
 
 
+def _finite_scalar(*arrays) -> bool:
+  """All-finite check as ONE on-device reduction and ONE 1-byte D2H pull.
+
+  VERDICT r4 item 6b: the previous three full-array device_gets ran on a
+  runtime where ANY D2H can trigger a sticky slow mode; a single packed
+  scalar is the minimum possible host pull.
+  """
+  import jax
+  import jax.numpy as jnp
+
+  ok = jax.jit(
+    lambda xs: jnp.stack([jnp.isfinite(x).all() for x in xs]).all()
+  )(arrays)
+  return bool(jax.device_get(ok))
+
+
 def _bench_eval(task: str, num_envs: int, steps: int, warmup: int) -> dict:
   """Bare env stepping with per-step resampled random actions.
 
@@ -69,6 +105,7 @@ def _bench_eval(task: str, num_envs: int, steps: int, warmup: int) -> dict:
   import jax
 
   env = _make_env(task, num_envs)
+  _stamp(f"eval {task} @{num_envs}: env built")
   env.reset(seed=0)
   act_shape = (num_envs, env.action_manager.total_action_dim)
   keys = jax.random.split(jax.random.key(0), warmup + steps + 1)
@@ -88,6 +125,7 @@ def _bench_eval(task: str, num_envs: int, steps: int, warmup: int) -> dict:
     packed, out = jit_packed(packed, actions[-1])
     jax.block_until_ready(out[0].get("f32"))
     compile_s = time.perf_counter() - tc
+    _stamp(f"eval {task} @{num_envs}: compiled in {compile_s:.1f}s")
     for i in range(warmup):
       packed, out = jit_packed(packed, actions[i])
     jax.block_until_ready(out[0].get("f32"))
@@ -104,6 +142,7 @@ def _bench_eval(task: str, num_envs: int, steps: int, warmup: int) -> dict:
     state, out = step(state, actions[-1])
     jax.block_until_ready(out[1])
     compile_s = time.perf_counter() - tc
+    _stamp(f"eval {task} @{num_envs}: compiled in {compile_s:.1f}s")
     for i in range(warmup):
       state, out = step(state, actions[i])
     jax.block_until_ready(out[1])
@@ -114,18 +153,13 @@ def _bench_eval(task: str, num_envs: int, steps: int, warmup: int) -> dict:
     jax.block_until_ready(out[1])
     dt = time.perf_counter() - t0
   env_steps_per_s = num_envs * steps / dt
+  _stamp(f"eval {task} @{num_envs}: measured {env_steps_per_s:,.0f} env-steps/s")
 
   # Sanity: the whole physics pipeline stayed finite — qpos, qvel AND
   # sensordata (obs sources), so a NaN'd or frozen stage can't hide behind
-  # the headline. (This device→host pull happens AFTER the timed region —
-  # on the axon runtime any D2H permanently slows the device, see
-  # docs/PERF_NOTES.md.)
-  import numpy as np
-
-  finite = all(
-    bool(np.isfinite(np.asarray(jax.device_get(arr))).all())
-    for arr in (state.data.qpos, state.data.qvel, state.data.sensordata)
-  )
+  # the headline. One fused on-device reduction, one scalar pull.
+  finite = _finite_scalar(state.data.qpos, state.data.qvel,
+                          state.data.sensordata)
   del env, state, out, actions
   return {
     "metric": f"env_steps_per_s ({task}, {num_envs} envs, "
@@ -157,6 +191,7 @@ def _bench_train(task: str, num_envs: int, iters: int) -> dict:
   if os.environ.get("BENCH_PACKED_HOSTLOOP"):
     agent.packed_hostloop = os.environ["BENCH_PACKED_HOSTLOOP"] == "1"
   runner = OnPolicyRunner(env, agent)
+  _stamp(f"train {task} @{num_envs}: env+runner built")
   state = runner.state
   # Two warmup iterations: the second still compiles host-loop helpers.
   tc = time.perf_counter()
@@ -164,6 +199,7 @@ def _bench_train(task: str, num_envs: int, iters: int) -> dict:
     state, metrics = runner._train_iter(state)
   jax.block_until_ready(metrics["Loss/loss"])
   compile_s = time.perf_counter() - tc
+  _stamp(f"train {task} @{num_envs}: compiled in {compile_s:.1f}s")
 
   t0 = time.perf_counter()
   for _ in range(iters):
@@ -172,6 +208,7 @@ def _bench_train(task: str, num_envs: int, iters: int) -> dict:
   dt = time.perf_counter() - t0
   steps = num_envs * agent.num_steps_per_env * iters
   v = steps / dt
+  _stamp(f"train {task} @{num_envs}: measured {v:,.0f} env-steps/s")
   del env, runner, state, metrics
   return {
     "metric": f"train_env_steps_per_s ({task}, {num_envs} envs, full PPO "
@@ -185,87 +222,220 @@ def _bench_train(task: str, num_envs: int, iters: int) -> dict:
   }
 
 
-def _backend_reachable(timeout_s: int = 180) -> bool:
-  """Probe backend init in a SUBPROCESS: when the TPU tunnel is down,
-  jax.devices() hangs indefinitely inside the PJRT client constructor —
-  an in-process check would stall the whole bench run."""
-  import subprocess
+def _bench_eval_small(num_envs: int, steps: int, warmup: int,
+                      reason: str) -> dict:
+  """Degraded-path measurement: the tiny 2-joint biped from __graft_entry__
+  (compiles in seconds anywhere) stepped eagerly — guarantees a valid
+  headline even when the flagship G1 workload cannot complete."""
+  import jax
+  import jax.numpy as jnp
 
+  from __graft_entry__ import _small_biped_env
+
+  env = _small_biped_env(num_envs)
+  _stamp(f"eval-small @{num_envs}: env built")
+  env.reset(seed=0)
+  state = env.state
+  act = jnp.zeros((num_envs, env.action_manager.total_action_dim),
+                  dtype=env.dtype)
+  step = env._jit_step
+  tc = time.perf_counter()
+  state, out = step(state, act)
+  jax.block_until_ready(out[1])
+  compile_s = time.perf_counter() - tc
+  _stamp(f"eval-small @{num_envs}: compiled in {compile_s:.1f}s")
+  for _ in range(warmup):
+    state, out = step(state, act)
+  jax.block_until_ready(out[1])
+  t0 = time.perf_counter()
+  for _ in range(steps):
+    state, out = step(state, act)
+  jax.block_until_ready(out[1])
+  dt = time.perf_counter() - t0
+  v = num_envs * steps / dt
+  _stamp(f"eval-small @{num_envs}: measured {v:,.0f} env-steps/s")
+  return {
+    "metric": f"env_steps_per_s (small-biped fallback [{reason}], "
+    f"{num_envs} envs, {jax.devices()[0].platform})",
+    "mode": "eval_small",
+    "num_envs": num_envs,
+    "value": round(v, 1),
+    "unit": "env-steps/s",
+    "vs_baseline": round(v / _TARGET, 4),
+    "compile_s": round(compile_s, 2),
+  }
+
+
+def _probe() -> dict:
+  """Backend health: init time + one tiny jitted matmul round trip.
+
+  A dead tunnel hangs in PJRT client init (the parent's deadline catches
+  it); a degraded-but-alive tunnel passes init but runs the matmul
+  pathologically slowly (VERDICT r4 item 9)."""
+  import jax
+  import jax.numpy as jnp
+
+  t0 = time.perf_counter()
+  devs = jax.devices()
+  init_s = time.perf_counter() - t0
+  f = jax.jit(lambda a: (a @ a).sum())
+  x = jnp.ones((512, 512), jnp.float32)
+  t0 = time.perf_counter()
+  jax.block_until_ready(f(x))  # includes compile
+  compile_s = time.perf_counter() - t0
+  t0 = time.perf_counter()
+  for _ in range(3):
+    y = f(x)
+  jax.block_until_ready(y)
+  matmul_s = (time.perf_counter() - t0) / 3
+  return {
+    "mode": "probe",
+    "platform": devs[0].platform,
+    "n_devices": len(devs),
+    "init_s": round(init_s, 2),
+    "matmul_compile_s": round(compile_s, 2),
+    "matmul_s": round(matmul_s, 4),
+  }
+
+
+def _child_main(spec: dict) -> None:
+  import jax
+
+  if spec.get("platform"):
+    # The ambient TPU-tunnel PJRT plugin only honors the config value, not
+    # the JAX_PLATFORMS env var — set the config so the child runs on the
+    # platform the parent asked for.
+    jax.config.update("jax_platforms", spec["platform"])
+  jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+  jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+  os.environ.setdefault("XLA_PYTHON_CLIENT_MEM_FRACTION", "0.9")
+
+  kind = spec["kind"]
+  if kind == "probe":
+    row = _probe()
+  elif kind == "eval":
+    row = _bench_eval(spec["task"], spec["num_envs"], spec["steps"],
+                      spec["warmup"])
+  elif kind == "eval_small":
+    row = _bench_eval_small(spec["num_envs"], spec["steps"], spec["warmup"],
+                            spec["reason"])
+  elif kind == "train":
+    row = _bench_train(spec["task"], spec["num_envs"], spec["iters"])
+  else:
+    raise ValueError(f"unknown child kind: {kind}")
+  print("ROW " + json.dumps(row), flush=True)
+
+
+# --------------------------------------------------------------------------
+# Parent-side orchestration (no jax import — cannot hang).
+# --------------------------------------------------------------------------
+
+
+def _run_child(spec: dict, timeout_s: float, label: str) -> dict | None:
+  _stamp(f"start {label} (deadline {timeout_s:.0f}s)")
   try:
     r = subprocess.run(
-      [sys.executable, "-c", "import jax; jax.devices()"],
-      timeout=timeout_s, capture_output=True,
+      [sys.executable, os.path.abspath(__file__), "--child",
+       json.dumps(spec)],
+      stdout=subprocess.PIPE, timeout=max(timeout_s, 1.0), text=True,
     )
-    return r.returncode == 0
   except subprocess.TimeoutExpired:
-    return False
+    _stamp(f"{label}: KILLED at deadline ({timeout_s:.0f}s)")
+    return None
+  if r.returncode != 0:
+    _stamp(f"{label}: child exited rc={r.returncode}")
+    return None
+  for line in reversed(r.stdout.splitlines()):
+    if line.startswith("ROW "):
+      return json.loads(line[4:])
+  _stamp(f"{label}: child printed no ROW")
+  return None
+
+
+def _emit_headline(row: dict) -> None:
+  # The driver contract is ONE JSON line with exactly these keys; the
+  # driver keeps the LAST such line, so a provisional headline printed
+  # early is safely overwritten by better measurements later.
+  print(
+    json.dumps(
+      {k: row[k] for k in ("metric", "value", "unit", "vs_baseline")}
+    ),
+    flush=True,
+  )
+
+
+def _last_history() -> dict:
+  """metric-name -> value from the most recent bench_history round."""
+  try:
+    with open(_HISTORY) as f:
+      entries = [json.loads(ln) for ln in f if ln.strip()]
+  except FileNotFoundError:
+    return {}
+  out: dict = {}
+  for e in entries:  # later rounds overwrite earlier ones
+    for r in e.get("rows", []):
+      if "value" in r and "metric" in r:
+        out[r["metric"]] = r["value"]
+  return out
+
+
+def _append_history(rows: list[dict], note: str) -> None:
+  try:
+    os.makedirs(os.path.dirname(_HISTORY), exist_ok=True)
+    with open(_HISTORY, "a") as f:
+      f.write(json.dumps({"note": note, "rows": [
+        {k: r[k] for k in ("metric", "value", "compile_s") if k in r}
+        for r in rows if "value" in r
+      ]}) + "\n")
+  except OSError:
+    pass
 
 
 def main() -> None:
-  os.environ.setdefault("XLA_PYTHON_CLIENT_MEM_FRACTION", "0.9")
-
-  degraded = False
-  if (
-    not os.environ.get("JAX_PLATFORMS", "").startswith("cpu")
-    and not _backend_reachable()
-  ):
-    # Accelerator unreachable (tunnel outage): fall back to a small CPU
-    # measurement so the driver still records a valid JSON line. The
-    # platform name in the metric string marks the row as degraded.
-    degraded = True
-    os.environ["JAX_PLATFORMS"] = "cpu"
-    os.environ.setdefault("BENCH_NUM_ENVS", "64")
-    os.environ.setdefault("BENCH_STEPS", "20")
-    os.environ.setdefault("BENCH_WARMUP", "3")
-    os.environ.setdefault("BENCH_FAST", "1")
-    print(
-      json.dumps({"warning": "accelerator unreachable; CPU fallback"}),
-      file=sys.stderr,
-    )
-
-  import jax
-
-  # The ambient TPU-tunnel PJRT plugin only honors the config value, not the
-  # JAX_PLATFORMS env var — mirror the env var so BENCH runs on the platform
-  # the caller asked for (same workaround as __graft_entry__.dryrun_multichip).
-  if os.environ.get("JAX_PLATFORMS"):
-    jax.config.update(
-      "jax_platforms", os.environ["JAX_PLATFORMS"].split(",")[0]
-    )
-  jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_mjlab")
-  jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
   task = os.environ.get("BENCH_TASK", "Mjlab-Velocity-Flat-Unitree-G1")
   num_envs = int(os.environ.get("BENCH_NUM_ENVS", "4096"))
   steps = int(os.environ.get("BENCH_STEPS", "50"))
   warmup = int(os.environ.get("BENCH_WARMUP", "5"))
+  budget_s = float(os.environ.get("BENCH_BUDGET_S", "900"))
   mode = os.environ.get("BENCH_MODE")
+  platform = os.environ.get("JAX_PLATFORMS", "").split(",")[0] or None
 
-  def emit_headline(row: dict) -> None:
-    # The driver contract is ONE JSON line with exactly these keys, printed
-    # and FLUSHED the moment the measurement exists (VERDICT r2 weak #1:
-    # anything that can hang must come after this line).
-    print(
-      json.dumps(
-        {k: row[k] for k in ("metric", "value", "unit", "vs_baseline")}
-      ),
-      flush=True,
-    )
+  def remaining() -> float:
+    return budget_s - (time.perf_counter() - _T0)
 
+  # Single-mode paths (tests, A/B tooling): one child, one line, no probe.
   if mode == "train":
-    emit_headline(_bench_train(task, num_envs, max(steps // 10, 3)))
+    row = _run_child(
+      {"kind": "train", "task": task, "num_envs": num_envs,
+       "iters": max(steps // 10, 3), "platform": platform},
+      budget_s, "train (BENCH_MODE)")
+    if row:
+      _emit_headline(row)
     return
   if mode == "eval" or os.environ.get("BENCH_FAST"):
-    emit_headline(_bench_eval(task, num_envs, steps, warmup))
+    row = _run_child(
+      {"kind": "eval", "task": task, "num_envs": num_envs, "steps": steps,
+       "warmup": warmup, "platform": platform},
+      budget_s, "eval (BENCH_FAST/MODE)")
+    if row:
+      _emit_headline(row)
     return
 
-  # Full sweep: headline eval FIRST (printed immediately), then a train
-  # iteration + scaling curve under an explicit wall-clock budget, with
-  # BENCH_DETAIL.json rewritten after every row so a timeout preserves all
-  # completed measurements.
-  budget_s = float(os.environ.get("BENCH_BUDGET_S", "900"))
-  rows = [_bench_eval(task, num_envs, steps, warmup)]
-  emit_headline(rows[0])
+  # ---- Phase 1: probe ----------------------------------------------------
+  probe = _run_child({"kind": "probe", "platform": platform},
+                     min(150.0, budget_s), "probe")
+  if probe is None:
+    health = "dead"
+  elif probe["matmul_s"] > 5.0 or probe["init_s"] > 60.0:
+    health = "degraded"
+  else:
+    health = "healthy"
+  _stamp(f"probe verdict: {health} ({json.dumps(probe) if probe else 'n/a'})")
+
+  rows: list[dict] = []
+  if probe:
+    rows.append(probe)
+  vs_last = _last_history()
 
   detail_path = os.path.join(
     os.path.dirname(__file__) or ".", "BENCH_DETAIL.json"
@@ -276,7 +446,7 @@ def main() -> None:
       json.dump(
         {
           "task": task,
-          "platform": jax.devices()[0].platform,
+          "backend_health": health,
           "target_env_steps_per_s": _TARGET,
           "budget_s": budget_s,
           "rows": rows,
@@ -285,45 +455,132 @@ def main() -> None:
         indent=1,
       )
 
-  write_detail()
+  def add_row(row: dict | None, label: str, n: int) -> dict | None:
+    if row is None:
+      rows.append({"metric": label, "num_envs": n, "error": "deadline/crash"})
+    else:
+      prev = vs_last.get(row.get("metric", ""))
+      if prev:
+        row["vs_last"] = round(row["value"] / prev, 4)
+      rows.append(row)
+    write_detail()
+    return row
+
+  # ---- Degraded / dead fallbacks: guaranteed-fast small-biped headline ----
+  if health == "dead":
+    _stamp("backend unreachable -> CPU small-biped fallback")
+    row = _run_child(
+      {"kind": "eval_small", "platform": "cpu", "num_envs": 64, "steps": 20,
+       "warmup": 3, "reason": "backend unreachable"},
+      max(remaining(), 300.0), "eval-small cpu")
+    if row:
+      _emit_headline(row)
+      add_row(row, "small-biped cpu fallback", 64)
+    else:
+      write_detail()
+    _append_history(rows, "dead-tunnel round")
+    return
+  if health == "degraded":
+    _stamp("backend degraded -> small-biped on accelerator, then small G1")
+    row = _run_child(
+      {"kind": "eval_small", "platform": platform, "num_envs": 256,
+       "steps": 20, "warmup": 3, "reason": "backend degraded"},
+      min(remaining(), 300.0), "eval-small accel")
+    if row:
+      _emit_headline(row)
+      add_row(row, "small-biped degraded fallback", 256)
+    # One modest attempt at a real G1 number, still deadline-protected.
+    row = _run_child(
+      {"kind": "eval", "task": task, "num_envs": 1024, "steps": 10,
+       "warmup": 2, "platform": platform},
+      min(remaining(), 300.0), "eval g1-1024 (degraded)")
+    if row:
+      _emit_headline(row)
+      add_row(row, f"eval ({task}, 1024 envs, degraded)", 1024)
+    write_detail()
+    _append_history(rows, "degraded-tunnel round")
+    return
+
+  # ---- Healthy path --------------------------------------------------------
+  # Phase 2: provisional headline from the guaranteed-fast small biped —
+  # a valid JSON line exists within ~2-3 minutes of process start even if
+  # every flagship measurement afterwards misses its deadline (the small
+  # biped builds+compiles in ~80 s cold on the tunneled TPU; flagship G1
+  # cold compiles can take several minutes).
+  prov = _run_child(
+    {"kind": "eval_small", "platform": platform, "num_envs": 256,
+     "steps": 20, "warmup": 3, "reason": "provisional"},
+    min(remaining(), 240.0), "eval-small provisional")
+  if prov is not None:
+    _emit_headline(prov)
+    add_row(prov, "small-biped provisional", 256)
+
+  # Phase 3: the real headline (config of record).
+  full = _run_child(
+    {"kind": "eval", "task": task, "num_envs": num_envs, "steps": steps,
+     "warmup": warmup, "platform": platform},
+    min(remaining(), 600.0), f"eval headline g1-{num_envs}")
+  if full is not None:
+    _emit_headline(full)
+    add_row(full, f"eval ({task}, {num_envs} envs)", num_envs)
+  else:
+    # Flagship missed its deadline (cold cache / sick relay): try a smaller
+    # flagship configuration so the headline is still a real G1 number.
+    row = _run_child(
+      {"kind": "eval", "task": task, "num_envs": 1024, "steps": 10,
+       "warmup": 2, "platform": platform},
+      min(remaining(), 300.0), "eval fallback g1-1024")
+    if row:
+      _emit_headline(row)
+      add_row(row, f"eval ({task}, 1024 envs, fallback)", 1024)
+
+  # Phase 4: sweep. Priority order: the config-of-record train row and the
+  # tracking-task rows (BASELINE.md targets) come BEFORE the env-count
+  # scaling extremes, so a tight budget can never starve them.
   train_iters = max(steps // 10, 3)
-  scale = tuple(
-    int(s)
-    for s in os.environ.get("BENCH_SCALE", "1024,16384").split(",")
-    if int(s) != num_envs
-  )
   tracking_task = os.environ.get(
     "BENCH_TRACKING_TASK", "Mjlab-Tracking-Flat-Unitree-G1"
   )
+  scale = tuple(
+    int(s)
+    for s in os.environ.get("BENCH_SCALE", "1024,16384").split(",")
+    if s and int(s) != num_envs
+  )
 
-  def run_row(label: str, n: int, fn, *args) -> None:
-    """Budget-gated sweep row; failures/skips recorded, earlier rows kept."""
-    elapsed = time.perf_counter() - _T_START
-    if elapsed > budget_s:
-      rows.append(
-        {"metric": label, "num_envs": n,
-         "skipped": f"over budget ({elapsed:.0f}s > {budget_s:.0f}s)"}
-      )
-    else:
-      try:
-        rows.append(fn(*args))
-      except Exception as e:
-        rows.append({"metric": label, "num_envs": n, "error": repr(e)})
-    write_detail()
-
-  # Priority order: the config-of-record train row and the tracking-task
-  # rows (BASELINE.md targets) come BEFORE the env-count scaling extremes,
-  # so a tight budget can never starve them (VERDICT r3 weak #3/#5).
-  run_row(f"train ({task}, {num_envs} envs)", num_envs,
-          _bench_train, task, num_envs, train_iters)
+  sweep: list[tuple[str, int, dict, float]] = [
+    (f"train ({task}, {num_envs} envs)", num_envs,
+     {"kind": "train", "task": task, "num_envs": num_envs,
+      "iters": train_iters, "platform": platform}, 420.0),
+  ]
   if tracking_task and tracking_task != "off":
-    run_row(f"eval ({tracking_task}, {num_envs} envs)", num_envs,
-            _bench_eval, tracking_task, num_envs, steps, warmup)
-    run_row(f"train ({tracking_task}, {num_envs} envs)", num_envs,
-            _bench_train, tracking_task, num_envs, train_iters)
+    sweep += [
+      (f"eval ({tracking_task}, {num_envs} envs)", num_envs,
+       {"kind": "eval", "task": tracking_task, "num_envs": num_envs,
+        "steps": steps, "warmup": warmup, "platform": platform}, 300.0),
+      (f"train ({tracking_task}, {num_envs} envs)", num_envs,
+       {"kind": "train", "task": tracking_task, "num_envs": num_envs,
+        "iters": train_iters, "platform": platform}, 420.0),
+    ]
   for n in scale:
-    run_row(f"train ({task}, {n} envs)", n, _bench_train, task, n, train_iters)
+    sweep.append(
+      (f"train ({task}, {n} envs)", n,
+       {"kind": "train", "task": task, "num_envs": n,
+        "iters": train_iters, "platform": platform}, 300.0))
+
+  for label, n, spec, cap in sweep:
+    if remaining() < 30.0:
+      rows.append({"metric": label, "num_envs": n,
+                   "skipped": f"over budget ({budget_s:.0f}s)"})
+      write_detail()
+      continue
+    add_row(_run_child(spec, min(remaining(), cap), label), label, n)
+
+  _append_history(rows, f"full sweep ({health})")
+  _stamp("done")
 
 
 if __name__ == "__main__":
-  sys.exit(main())
+  if len(sys.argv) >= 3 and sys.argv[1] == "--child":
+    _child_main(json.loads(sys.argv[2]))
+  else:
+    sys.exit(main())

@@ -204,7 +204,13 @@ class ManagerBasedEnv:
         m_ = np_model.replace(**dyn_leaves) if dyn_leaves else np_model
         return fn(tp, m_, d_)
 
-      return jax.vmap(one, in_axes=({f: 0 for f in dyn}, 0))
+      # jit the vmap: called OUTSIDE a jit trace (build-time forward in
+      # _refresh_forward, reset-time ensure_derived), an un-jitted vmap
+      # executes op-by-op — hundreds of single-op programs, each a separate
+      # compile+dispatch over the TPU relay (~300 s of env build wall time,
+      # round-5 stack-dump diagnosis). Inside an enclosing jit the nested
+      # jit is inlined, so the hot step path is unchanged.
+      return jax.jit(jax.vmap(one, in_axes=({f: 0 for f in dyn}, 0)))
 
     self._dyn_model_fields = dyn
     self._step_physics_fn = make(physics.step)

@@ -233,3 +233,62 @@ def test_env_auto_reset_on_timeout():
     _, _, terminated, time_outs, extras = env.step(action)
     resets += int(extras["log"]["reset_count"])
   assert resets >= 2
+
+
+def test_env_contact_free_model():
+  """Regression (ADVICE r4): a model with NO collision pairs (ncon_max==0)
+  hits the collision() early-exit (physics/collision.py:786-789), which must
+  still write the scalar ncon_dropped counter — slim state threading drops
+  it to None between steps and the env step log sums it unconditionally."""
+  no_contact_xml = ROBOT_XML.replace(
+    "<geom name=", '<geom contype="0" conaffinity="0" name='
+  )
+  robot = EntityCfg(
+    init_state=EntityCfg.InitialStateCfg(
+      pos=(0, 0, 0.6), joint_pos={"hip": 0.2, "knee": -0.4}
+    ),
+    spec_fn=lambda: mujoco.MjSpec.from_string(no_contact_xml),
+    articulation=EntityArticulationInfoCfg(
+      actuators=(
+        ActuatorCfg(
+          joint_names_expr=("hip", "knee"), effort_limit=30.0,
+          stiffness=40.0, damping=2.0, armature=0.01,
+        ),
+      ),
+    ),
+  )
+  cfg = ManagerBasedRlEnvCfg(
+    decimation=2,
+    episode_length_s=1.0,
+    scene=SceneCfg(
+      num_envs=2,
+      terrain=TerrainImporterCfg(terrain_type="plane"),
+      entities={"robot": robot},
+    ),
+    observations={
+      "policy": ObservationGroupCfg(
+        terms={"joint_pos": ObservationTermCfg(func=mdp.joint_pos_rel)}
+      ),
+    },
+    actions={
+      "joint_pos": JointPositionActionCfg(
+        asset_name="robot", actuator_names=(".*",), scale=0.5,
+        use_default_offset=True,
+      )
+    },
+    rewards={"alive": RewardTermCfg(func=mdp.is_alive, weight=1.0)},
+    terminations={
+      "time_out": TerminationTermCfg(func=mdp.time_out, time_out=True)
+    },
+    sim=SimulationCfg(
+      dtype="float32", mujoco=MujocoCfg(timestep=0.005, iterations=2,
+                                        ls_iterations=4)
+    ),
+    seed=0,
+  )
+  env = ManagerBasedRlEnv(cfg)
+  assert env.tp.ncon_max == 0, "test must exercise the contact-free path"
+  env.reset()
+  _, rew, _, _, extras = env.step(jnp.zeros((2, 2)))
+  assert float(extras["log"]["Metrics/physics/terrain_slots_dropped"]) == 0.0
+  assert np.isfinite(np.asarray(rew)).all()
