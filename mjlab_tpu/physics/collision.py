@@ -15,6 +15,7 @@ from standard closest-point geometry, and vmapped over the pair axis.
 from __future__ import annotations
 
 import itertools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -583,12 +584,14 @@ def _combine_params_terrain(
   fri_r = m.geom_friction[g][:, None]  # (R, 1, 3)
   ref_r = m.geom_solref[g][:, None]
   imp_r = m.geom_solimp[g][:, None]
-  fri_t = m.geom_friction[ids]  # (R, S, 3)
-  ref_t = m.geom_solref[ids]
-  imp_t = m.geom_solimp[ids]
+  # Terrain-side leaves gathered by TRACED ids: numpy model leaves must be
+  # lifted to device arrays first (numpy.__getitem__(tracer) raises).
+  fri_t = jnp.asarray(m.geom_friction)[ids]  # (R, S, 3)
+  ref_t = jnp.asarray(m.geom_solref)[ids]
+  imp_t = jnp.asarray(m.geom_solimp)[ids]
 
   s_r = jnp.maximum(m.geom_solmix[g], 1e-12)[:, None]
-  s_t = jnp.maximum(m.geom_solmix[ids], 1e-12)
+  s_t = jnp.maximum(jnp.asarray(m.geom_solmix)[ids], 1e-12)
   w_r = (s_r / (s_r + s_t))[..., None]
   w_t = 1.0 - w_r
   fri_mix = jnp.maximum(fri_r, fri_t)
@@ -607,7 +610,7 @@ def _combine_params_terrain(
   fri3 = pick(r_higher, fri_r, fri_t, fri_mix)
   solref = pick(r_higher, ref_r, ref_t, ref_mix)
   solimp = pick(r_higher, imp_r, imp_t, imp_mix)
-  margin = jnp.maximum(m.geom_margin[g][:, None], m.geom_margin[ids])
+  margin = jnp.maximum(m.geom_margin[g][:, None], jnp.asarray(m.geom_margin)[ids])
   friction = jnp.stack(
     [fri3[..., 0], fri3[..., 0], fri3[..., 1], fri3[..., 2], fri3[..., 2]],
     axis=-1,
@@ -639,7 +642,9 @@ def _terrain_group_contacts(tp: Topology, m: Model, d: Data, tg: TerrainGroup):
   valid = cand >= 0
   cid = jnp.maximum(cand, 0)
   bpos = d.geom_xpos[cid]  # (R, L, 3) — terrain geoms are world-static
-  bsize = m.geom_size[cid]
+  # Model leaves are numpy (inlined literals); traced gather indices need
+  # a device array — jnp.asarray is free for jnp leaves and inlines numpy.
+  bsize = jnp.asarray(m.geom_size)[cid]
   brad = jnp.linalg.norm(bsize, axis=-1)
   rrad = jnp.asarray(tg.robot_rad, dtype)[:, None]
   key = jnp.sum((p[:, None] - bpos) ** 2, axis=-1) - (brad + rrad) ** 2
@@ -650,7 +655,7 @@ def _terrain_group_contacts(tp: Topology, m: Model, d: Data, tg: TerrainGroup):
 
   bp = d.geom_xpos[ids]  # (R, K, 3)
   bm = d.geom_xmat[ids]
-  bs = m.geom_size[ids]
+  bs = jnp.asarray(m.geom_size)[ids]
   rp = d.geom_xpos[rg]
   rm = d.geom_xmat[rg]
   rs = m.geom_size[rg]
@@ -749,17 +754,23 @@ def _terrain_group_contacts(tp: Topology, m: Model, d: Data, tg: TerrainGroup):
   # neither selected nor lateral-diversity-suppressed near a selected
   # contact — i.e. genuine contact points lost to tg.slots capacity. Greedy
   # selection guarantees such a candidate only exists when every slot was
-  # consumed first.
-  active = dist < expand(inclm[..., None])[..., 0]  # (R, nc)
-  sel_xy = jnp.take_along_axis(pos[..., :2], sel[..., None], axis=1)
-  d2 = jnp.sum(
-    (pos[:, :, None, :2] - sel_xy[:, None, :, :]) ** 2, axis=-1
-  )  # (R, nc, slots)
-  near_sel = jnp.any(d2 < (rho[:, None, None] ** 2), axis=-1)
-  is_sel = jnp.any(
-    jnp.arange(nc)[None, :, None] == sel[:, None, :], axis=-1
-  )
-  dropped = jnp.sum(active & ~near_sel & ~is_sel).astype(jnp.int32)
+  # consumed first. Trace-time gate (MJLAB_SATURATION_TELEMETRY=0 disables):
+  # the O(R*nc*slots) pairwise-distance tensor adds ~0.6% of rough-step
+  # FLOPs (tools/ab_saturation_cost.py, XLA cost_analysis) — kept on by
+  # default per the <=2% rule; flat-terrain tasks never trace this branch.
+  if os.environ.get("MJLAB_SATURATION_TELEMETRY", "1") == "1":
+    active = dist < expand(inclm[..., None])[..., 0]  # (R, nc)
+    sel_xy = jnp.take_along_axis(pos[..., :2], sel[..., None], axis=1)
+    d2 = jnp.sum(
+      (pos[:, :, None, :2] - sel_xy[:, None, :, :]) ** 2, axis=-1
+    )  # (R, nc, slots)
+    near_sel = jnp.any(d2 < (rho[:, None, None] ** 2), axis=-1)
+    is_sel = jnp.any(
+      jnp.arange(nc)[None, :, None] == sel[:, None, :], axis=-1
+    )
+    dropped = jnp.sum(active & ~near_sel & ~is_sel).astype(jnp.int32)
+  else:
+    dropped = jnp.zeros((), jnp.int32)
 
   dist = jnp.take_along_axis(dist, sel, axis=1)
   pos = jnp.take_along_axis(pos, sel[..., None], axis=1)

@@ -302,3 +302,14 @@ print(f"proc{pid} OK offset={multihost.global_env_offset(256)}", flush=True)
     assert rc == 0, err[-3000:]
   assert "proc0 OK offset=0" in outs[0][1]
   assert "proc1 OK offset=256" in outs[1][1]
+
+
+@pytest.mark.slow
+def test_dryrun_multichip_tracking_task(monkeypatch):
+  """DRYRUN_TASK=tracking shards the motion-tracking train step: per-env
+  time indexing into the replicated motion dataset is the one state family
+  the velocity dryrun never exercises under sharding (VERDICT r4 item 8)."""
+  import __graft_entry__
+
+  monkeypatch.setenv("DRYRUN_TASK", "tracking")
+  __graft_entry__.dryrun_multichip(8)

@@ -292,3 +292,68 @@ def test_env_contact_free_model():
   _, rew, _, _, extras = env.step(jnp.zeros((2, 2)))
   assert float(extras["log"]["Metrics/physics/terrain_slots_dropped"]) == 0.0
   assert np.isfinite(np.asarray(rew)).all()
+
+
+def test_env_box_terrain_narrowphase_under_jit():
+  """Regression (round 5): the box-terrain narrowphase gathers Model leaves
+  by TRACED candidate ids (physics/collision.py _terrain_group_contacts /
+  _combine_params_terrain); with numpy model leaves this raised
+  TracerArrayConversionError inside jit, so every rough task whose terrain
+  contained box sub-terrains (e.g. stairs) failed to build. A stairs-only
+  generator terrain guarantees a box terrain group."""
+  from mjlab_tpu.terrains import (
+    BoxPyramidStairsTerrainCfg,
+    TerrainGeneratorCfg,
+  )
+
+  gen = TerrainGeneratorCfg(
+    seed=3,
+    size=(3.0, 3.0),
+    num_rows=4,
+    num_cols=4,
+    sub_terrains={
+      "stairs": BoxPyramidStairsTerrainCfg(
+        proportion=1.0, step_height_range=(0.05, 0.1), step_width=0.3,
+        platform_width=1.0,
+      ),
+    },
+  )
+  cfg = ManagerBasedRlEnvCfg(
+    decimation=2,
+    episode_length_s=1.0,
+    scene=SceneCfg(
+      num_envs=2,
+      terrain=TerrainImporterCfg(terrain_type="generator",
+                                 terrain_generator=gen),
+      entities={"robot": make_robot_cfg()},
+    ),
+    observations={
+      "policy": ObservationGroupCfg(
+        terms={"joint_pos": ObservationTermCfg(func=mdp.joint_pos_rel)}
+      ),
+    },
+    actions={
+      "joint_pos": JointPositionActionCfg(
+        asset_name="robot", actuator_names=(".*",), scale=0.5,
+        use_default_offset=True,
+      )
+    },
+    rewards={"alive": RewardTermCfg(func=mdp.is_alive, weight=1.0)},
+    terminations={
+      "time_out": TerminationTermCfg(func=mdp.time_out, time_out=True)
+    },
+    sim=SimulationCfg(
+      dtype="float32",
+      mujoco=MujocoCfg(timestep=0.005, iterations=4, ls_iterations=6),
+    ),
+    seed=0,
+  )
+  env = ManagerBasedRlEnv(cfg)
+  assert len(env.tp.terrain_groups) > 0, (
+    "stairs terrain must exceed TERRAIN_POOL_MIN and form box terrain "
+    "groups, else this test exercises nothing"
+  )
+  env.reset(seed=0)
+  _, rew, _, _, extras = env.step(jnp.zeros((2, 2)))
+  assert np.isfinite(np.asarray(rew)).all()
+  assert float(extras["log"]["Metrics/physics/terrain_slots_dropped"]) == 0.0
