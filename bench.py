@@ -49,6 +49,12 @@ def _stamp(msg: str) -> None:
         file=sys.stderr, flush=True)
 
 
+def _emit_child_row(row: dict) -> None:
+  """Child→parent protocol: one 'ROW {json}' line on stdout, flushed.
+  A child may emit several; the parent keeps the LAST one."""
+  print("ROW " + json.dumps(row), flush=True)
+
+
 # --------------------------------------------------------------------------
 # Child-side measurement functions (run inside a subprocess with a deadline).
 # --------------------------------------------------------------------------
@@ -155,22 +161,33 @@ def _bench_eval(task: str, num_envs: int, steps: int, warmup: int) -> dict:
   env_steps_per_s = num_envs * steps / dt
   _stamp(f"eval {task} @{num_envs}: measured {env_steps_per_s:,.0f} env-steps/s")
 
+  def row(finite) -> dict:
+    return {
+      "metric": f"env_steps_per_s ({task}, {num_envs} envs, "
+      f"{jax.devices()[0].platform}, finite={finite})",
+      "mode": "eval",
+      "num_envs": num_envs,
+      "value": round(env_steps_per_s, 1),
+      "unit": "env-steps/s",
+      "vs_baseline": round(env_steps_per_s / _TARGET, 4),
+      "compile_s": round(compile_s, 2),
+    }
+
+  # Emit the measurement IMMEDIATELY (the finite check below compiles a new
+  # program — a cold compile over the relay can outlast the parent's
+  # deadline; round-5 trace: 49 min elapsed after the measurement). The
+  # parent keeps the LAST ROW line, so the finite-confirmed row below
+  # supersedes this one when it lands in time.
+  _emit_child_row(row("pending"))
+
   # Sanity: the whole physics pipeline stayed finite — qpos, qvel AND
   # sensordata (obs sources), so a NaN'd or frozen stage can't hide behind
   # the headline. One fused on-device reduction, one scalar pull.
   finite = _finite_scalar(state.data.qpos, state.data.qvel,
                           state.data.sensordata)
+  _stamp(f"eval {task} @{num_envs}: finite={finite}")
   del env, state, out, actions
-  return {
-    "metric": f"env_steps_per_s ({task}, {num_envs} envs, "
-    f"{jax.devices()[0].platform}, finite={finite})",
-    "mode": "eval",
-    "num_envs": num_envs,
-    "value": round(env_steps_per_s, 1),
-    "unit": "env-steps/s",
-    "vs_baseline": round(env_steps_per_s / _TARGET, 4),
-    "compile_s": round(compile_s, 2),
-  }
+  return row(finite)
 
 
 def _bench_train(task: str, num_envs: int, iters: int) -> dict:
@@ -323,12 +340,23 @@ def _child_main(spec: dict) -> None:
     row = _bench_train(spec["task"], spec["num_envs"], spec["iters"])
   else:
     raise ValueError(f"unknown child kind: {kind}")
-  print("ROW " + json.dumps(row), flush=True)
+  _emit_child_row(row)
 
 
 # --------------------------------------------------------------------------
 # Parent-side orchestration (no jax import — cannot hang).
 # --------------------------------------------------------------------------
+
+
+def _parse_last_row(stdout) -> dict | None:
+  if not stdout:
+    return None
+  if isinstance(stdout, bytes):
+    stdout = stdout.decode("utf-8", "replace")
+  for line in reversed(stdout.splitlines()):
+    if line.startswith("ROW "):
+      return json.loads(line[4:])
+  return None
 
 
 def _run_child(spec: dict, timeout_s: float, label: str) -> dict | None:
@@ -339,17 +367,25 @@ def _run_child(spec: dict, timeout_s: float, label: str) -> dict | None:
        json.dumps(spec)],
       stdout=subprocess.PIPE, timeout=max(timeout_s, 1.0), text=True,
     )
-  except subprocess.TimeoutExpired:
-    _stamp(f"{label}: KILLED at deadline ({timeout_s:.0f}s)")
-    return None
+  except subprocess.TimeoutExpired as e:
+    # Children emit a provisional ROW the moment a measurement exists
+    # (before slow post-measurement work like the finite check): salvage
+    # the last ROW from the partial stdout instead of dropping the row.
+    row = _parse_last_row(e.stdout)
+    _stamp(
+      f"{label}: KILLED at deadline ({timeout_s:.0f}s); "
+      + ("salvaged provisional ROW" if row else "no ROW to salvage")
+    )
+    return row
   if r.returncode != 0:
-    _stamp(f"{label}: child exited rc={r.returncode}")
-    return None
-  for line in reversed(r.stdout.splitlines()):
-    if line.startswith("ROW "):
-      return json.loads(line[4:])
-  _stamp(f"{label}: child printed no ROW")
-  return None
+    row = _parse_last_row(r.stdout)
+    _stamp(f"{label}: child exited rc={r.returncode}"
+           + ("; salvaged last ROW" if row else ""))
+    return row
+  row = _parse_last_row(r.stdout)
+  if row is None:
+    _stamp(f"{label}: child printed no ROW")
+  return row
 
 
 def _emit_headline(row: dict) -> None:

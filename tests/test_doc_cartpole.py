@@ -55,6 +55,7 @@ def test_tutorial_env_builds_and_steps(tutorial_ns):
   env.close()
 
 
+@pytest.mark.slow  # 40s: tutorial build+step stays in the fast gate
 def test_tutorial_trains_two_iterations(tutorial_ns):
   from mjlab_tpu.envs import ManagerBasedRlEnv
   from mjlab_tpu.rl import (

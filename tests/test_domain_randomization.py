@@ -4,12 +4,14 @@ strategy at :75-99)."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mjlab_tpu.envs import mdp
 from mjlab_tpu.managers import SceneEntityCfg
 from tests.test_env_smoke import make_env
 
 
+@pytest.mark.slow  # 39s: DR op semantics covered fast by masked_and_ops
 def test_startup_dr_in_range_and_diverse():
   """The smoke env's friction_dr startup event randomizes foot friction
   uniformly in [0.4, 1.0] per env."""

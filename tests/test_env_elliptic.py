@@ -3,12 +3,15 @@ stack must trace, step and stay physical with cone="elliptic"."""
 
 import dataclasses
 
+import pytest
+
 import jax.numpy as jnp
 import numpy as np
 
 from tests.test_env_smoke import make_env
 
 
+@pytest.mark.slow  # 71s: cone math pinned fast by test_physics_elliptic
 def test_env_steps_with_elliptic_cone():
   env = make_env(num_envs=2)
   # Rebuild with elliptic cone (cfg is a fresh instance per make_env call).

@@ -92,6 +92,7 @@ def test_actdyn_trajectory_parity(integrator, actuators):
   np.testing.assert_allclose(np.asarray(d.qvel), mjd.qvel, atol=1e-7)
 
 
+@pytest.mark.slow  # 30s: muscle parity pinned by test_physics_muscle
 def test_muscle_dyntype_accepted_and_steps():
   """Muscle dyntype is a supported activation dynamics path (was rejected
   before physics/muscle.py landed; deep parity lives in
@@ -212,6 +213,7 @@ def _make_filter_env(num_envs=2):
   return ManagerBasedRlEnv(cfg)
 
 
+@pytest.mark.slow  # 34s: filter actdyn parity covered fast above
 def test_env_with_filter_actuators():
   env = _make_filter_env(num_envs=2)
   assert env.sim.tp.na == 2

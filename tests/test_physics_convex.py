@@ -67,6 +67,7 @@ def test_box_on_box_settle():
   assert float(jnp.abs(d.qpos[3])) > 0.99  # quat w
 
 
+@pytest.mark.slow  # 21s: box-box settle/stack tests stay in the fast gate
 def test_box_box_contact_geometry():
   """Static overlapping boxes: dist/normal match mj_forward's contacts."""
   xml = """
@@ -292,6 +293,7 @@ def test_ellipsoid_on_box_settle():
   assert float(jnp.linalg.norm(d.qvel)) < 0.1
 
 
+@pytest.mark.slow  # 21s: mesh pair conversion covered by settle tests
 def test_cylinder_cylinder_and_mesh_pairs_convert():
   """The whole previously-rejected tail now converts: cylinder/ellipsoid vs
   sphere, capsule, box, cylinder, mesh, hfield (VERDICT r2 missing #3)."""

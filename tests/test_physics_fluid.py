@@ -43,7 +43,16 @@ _FLUIDS = {
 }
 
 
-@pytest.mark.parametrize("integrator", ["Euler", "implicitfast", "RK4"])
+@pytest.mark.parametrize(
+  "integrator",
+  [
+    "Euler",
+    "implicitfast",
+    # RK4 re-derives the whole step 4x: ~17s per fluid param (fast gate
+    # keeps Euler/implicitfast; RK4 parity also pinned in test_physics_smooth).
+    pytest.param("RK4", marks=pytest.mark.slow),
+  ],
+)
 @pytest.mark.parametrize("fluid", sorted(_FLUIDS))
 def test_fluid_trajectory_parity(fluid, integrator):
   """Fluid passive-force parity, plus (implicitfast) the fluid-drag

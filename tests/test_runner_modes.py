@@ -3,6 +3,7 @@ same training math as the fused lax.scan rollout (identical RNG stream)."""
 
 import jax
 import numpy as np
+import pytest
 
 from mjlab_tpu.rl import PpoActorCriticCfg, PpoAlgorithmCfg, RlOnPolicyRunnerCfg
 from mjlab_tpu.rl.runner import OnPolicyRunner
@@ -61,6 +62,7 @@ def test_hostloop_matches_fused():
   )
 
 
+@pytest.mark.slow  # 82s: fast gate keeps test_hostloop_matches_fused
 def test_packed_hostloop_matches_unpacked():
   """packed_hostloop (flat-buffer rollout carry) must be math-identical,
   including composed with rollout_chunk."""
@@ -82,6 +84,7 @@ def test_packed_hostloop_matches_unpacked():
   )
 
 
+@pytest.mark.slow  # 60s: fast gate keeps test_hostloop_matches_fused
 def test_chunked_hostloop_matches_unchunked():
   """rollout_chunk (unrolled multi-step programs, incl. a T%k remainder)
   and epoch_chunk (one program per PPO epoch) must be math-identical to

@@ -128,3 +128,24 @@ def test_bench_emits_headline_json_line():
   row = json.loads(lines[0])
   assert set(row) == {"metric", "value", "unit", "vs_baseline"}
   assert row["value"] > 0
+
+
+def test_bench_parse_last_row_salvage():
+  """Parent-side ROW salvage (round 5): children emit a provisional ROW the
+  moment a measurement exists; on deadline kill the parent must recover the
+  last ROW from partial stdout (str or bytes, per TimeoutExpired)."""
+  import importlib.util
+  import os
+
+  spec = importlib.util.spec_from_file_location(
+    "bench", os.path.join(_REPO_ROOT, "bench.py")
+  )
+  bench = importlib.util.module_from_spec(spec)
+  spec.loader.exec_module(bench)
+
+  out = 'noise\nROW {"value": 1}\nROW {"value": 2, "metric": "m"}\ntrailing'
+  assert bench._parse_last_row(out) == {"value": 2, "metric": "m"}
+  assert bench._parse_last_row(out.encode()) == {"value": 2, "metric": "m"}
+  assert bench._parse_last_row("") is None
+  assert bench._parse_last_row(None) is None
+  assert bench._parse_last_row("no rows here") is None

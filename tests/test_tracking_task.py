@@ -27,7 +27,14 @@ def test_tracking_registry():
   assert "base_lin_vel" not in ns.observations["policy"].terms
 
 
-@pytest.mark.parametrize("sampling_mode", ["adaptive", "uniform", "start"])
+@pytest.mark.parametrize(
+  "sampling_mode",
+  [
+    pytest.param("adaptive", marks=pytest.mark.slow),  # 75s
+    pytest.param("uniform", marks=pytest.mark.slow),  # 63s
+    "start",  # one sampling mode stays in the fast gate
+  ],
+)
 def test_tracking_env_toy(tmp_path, sampling_mode):
   import jax.numpy as jnp
 
@@ -85,6 +92,7 @@ def test_tracking_env_toy(tmp_path, sampling_mode):
   assert (anchor_err < 0.5).all()
 
 
+@pytest.mark.slow  # 76s: RSI covered fast by env_toy[start]
 def test_tracking_motion_wraparound(tmp_path):
   """Envs whose motion clock passes the end get resampled in-step."""
   import jax.numpy as jnp
