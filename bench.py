@@ -161,6 +161,8 @@ def _bench_eval(task: str, num_envs: int, steps: int, warmup: int) -> dict:
   env_steps_per_s = num_envs * steps / dt
   _stamp(f"eval {task} @{num_envs}: measured {env_steps_per_s:,.0f} env-steps/s")
 
+  extra: dict = {}
+
   def row(finite) -> dict:
     return {
       "metric": f"env_steps_per_s ({task}, {num_envs} envs, "
@@ -171,13 +173,31 @@ def _bench_eval(task: str, num_envs: int, steps: int, warmup: int) -> dict:
       "unit": "env-steps/s",
       "vs_baseline": round(env_steps_per_s / _TARGET, 4),
       "compile_s": round(compile_s, 2),
+      **extra,
     }
 
-  # Emit the measurement IMMEDIATELY (the finite check below compiles a new
-  # program — a cold compile over the relay can outlast the parent's
-  # deadline; round-5 trace: 49 min elapsed after the measurement). The
-  # parent keeps the LAST ROW line, so the finite-confirmed row below
-  # supersedes this one when it lands in time.
+  # Emit the measurement IMMEDIATELY: everything below can take arbitrarily
+  # long on a backlogged relay (round-5 trace: 926 s with all programs
+  # cached). The parent keeps the LAST ROW line, so the rows below
+  # supersede this one when they land in time.
+  _emit_child_row(row("pending"))
+
+  # Forced-completion check (docs/PERF_NOTES.md round-5): block_until_ready
+  # acknowledges DISPATCH on this relay, not completion — `value` above is
+  # an upper bound. ONE timed 1-scalar D2H pull forces the deferred chain;
+  # steps/(dispatch+pull) is a lower bound on true throughput (it also
+  # absorbs deferred build/reset work). Safe because each measurement is a
+  # sacrificial subprocess: the forced mode dies with this child.
+  t0 = time.perf_counter()
+  if packed_mode:
+    jax.device_get(out[0].get("f32")[0])
+  else:
+    jax.device_get(out[1][0])
+  pull_s = time.perf_counter() - t0
+  forced = num_envs * steps / (dt + pull_s)
+  extra = {"pull_s": round(pull_s, 2), "forced_value": round(forced, 1)}
+  _stamp(f"eval {task} @{num_envs}: pull {pull_s:.2f}s -> "
+         f"forced {forced:,.0f} env-steps/s")
   _emit_child_row(row("pending"))
 
   # Sanity: the whole physics pipeline stayed finite — qpos, qvel AND
@@ -226,17 +246,32 @@ def _bench_train(task: str, num_envs: int, iters: int) -> dict:
   steps = num_envs * agent.num_steps_per_env * iters
   v = steps / dt
   _stamp(f"train {task} @{num_envs}: measured {v:,.0f} env-steps/s")
+
+  def row(**extra) -> dict:
+    return {
+      "metric": f"train_env_steps_per_s ({task}, {num_envs} envs, full PPO "
+      f"iteration, {jax.devices()[0].platform})",
+      "mode": "train",
+      "num_envs": num_envs,
+      "value": round(v, 1),
+      "unit": "env-steps/s",
+      "vs_baseline": round(v / _TARGET, 4),
+      "compile_s": round(compile_s, 2),
+      **extra,
+    }
+
+  # Dispatch-rate row first, then the forced-completion lower bound (see
+  # _bench_eval / docs/PERF_NOTES.md round-5 measurement-integrity note).
+  _emit_child_row(row())
+  t0 = time.perf_counter()
+  loss = float(jax.device_get(metrics["Loss/loss"]))
+  pull_s = time.perf_counter() - t0
+  forced = steps / (dt + pull_s)
+  _stamp(f"train {task} @{num_envs}: pull {pull_s:.2f}s -> "
+         f"forced {forced:,.0f} env-steps/s (loss={loss:.4f})")
   del env, runner, state, metrics
-  return {
-    "metric": f"train_env_steps_per_s ({task}, {num_envs} envs, full PPO "
-    f"iteration, {jax.devices()[0].platform})",
-    "mode": "train",
-    "num_envs": num_envs,
-    "value": round(v, 1),
-    "unit": "env-steps/s",
-    "vs_baseline": round(v / _TARGET, 4),
-    "compile_s": round(compile_s, 2),
-  }
+  return row(pull_s=round(pull_s, 2), forced_value=round(forced, 1),
+             loss=round(loss, 4))
 
 
 def _bench_eval_small(num_envs: int, steps: int, warmup: int,
@@ -271,16 +306,28 @@ def _bench_eval_small(num_envs: int, steps: int, warmup: int,
   dt = time.perf_counter() - t0
   v = num_envs * steps / dt
   _stamp(f"eval-small @{num_envs}: measured {v:,.0f} env-steps/s")
-  return {
-    "metric": f"env_steps_per_s (small-biped fallback [{reason}], "
-    f"{num_envs} envs, {jax.devices()[0].platform})",
-    "mode": "eval_small",
-    "num_envs": num_envs,
-    "value": round(v, 1),
-    "unit": "env-steps/s",
-    "vs_baseline": round(v / _TARGET, 4),
-    "compile_s": round(compile_s, 2),
-  }
+
+  def row(**extra) -> dict:
+    return {
+      "metric": f"env_steps_per_s (small-biped fallback [{reason}], "
+      f"{num_envs} envs, {jax.devices()[0].platform})",
+      "mode": "eval_small",
+      "num_envs": num_envs,
+      "value": round(v, 1),
+      "unit": "env-steps/s",
+      "vs_baseline": round(v / _TARGET, 4),
+      "compile_s": round(compile_s, 2),
+      **extra,
+    }
+
+  _emit_child_row(row())
+  t0 = time.perf_counter()
+  jax.device_get(out[1][0])  # forced-completion lower bound (PERF_NOTES r5)
+  pull_s = time.perf_counter() - t0
+  forced = num_envs * steps / (dt + pull_s)
+  _stamp(f"eval-small @{num_envs}: pull {pull_s:.2f}s -> "
+         f"forced {forced:,.0f} env-steps/s")
+  return row(pull_s=round(pull_s, 2), forced_value=round(forced, 1))
 
 
 def _probe() -> dict:
@@ -357,6 +404,17 @@ def _parse_last_row(stdout) -> dict | None:
     if line.startswith("ROW "):
       return json.loads(line[4:])
   return None
+
+
+def _classify_probe(probe: dict | None) -> str:
+  """Backend health from the probe row (VERDICT r4 item 9): a dead tunnel
+  never returns (None); a degraded-but-alive one passes init but runs the
+  tiny matmul round trip pathologically slowly."""
+  if probe is None:
+    return "dead"
+  if probe.get("matmul_s", 0.0) > 5.0 or probe.get("init_s", 0.0) > 60.0:
+    return "degraded"
+  return "healthy"
 
 
 def _run_child(spec: dict, timeout_s: float, label: str) -> dict | None:
@@ -460,12 +518,7 @@ def main() -> None:
   # ---- Phase 1: probe ----------------------------------------------------
   probe = _run_child({"kind": "probe", "platform": platform},
                      min(150.0, budget_s), "probe")
-  if probe is None:
-    health = "dead"
-  elif probe["matmul_s"] > 5.0 or probe["init_s"] > 60.0:
-    health = "degraded"
-  else:
-    health = "healthy"
+  health = _classify_probe(probe)
   _stamp(f"probe verdict: {health} ({json.dumps(probe) if probe else 'n/a'})")
 
   rows: list[dict] = []

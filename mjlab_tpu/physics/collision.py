@@ -755,9 +755,10 @@ def _terrain_group_contacts(tp: Topology, m: Model, d: Data, tg: TerrainGroup):
   # contact — i.e. genuine contact points lost to tg.slots capacity. Greedy
   # selection guarantees such a candidate only exists when every slot was
   # consumed first. Trace-time gate (MJLAB_SATURATION_TELEMETRY=0 disables):
-  # the O(R*nc*slots) pairwise-distance tensor adds ~0.6% of rough-step
-  # FLOPs (tools/ab_saturation_cost.py, XLA cost_analysis) — kept on by
-  # default per the <=2% rule; flat-terrain tasks never trace this branch.
+  # the O(R*nc*slots) pairwise-distance tensor adds 0.07% of rough-step
+  # FLOPs / 0.26% of bytes (tools/ab_saturation_cost.py, XLA cost_analysis,
+  # tools/AB_RESULTS_r5.jsonl) — kept on by default per the <=2% rule;
+  # flat-terrain tasks never trace this branch.
   if os.environ.get("MJLAB_SATURATION_TELEMETRY", "1") == "1":
     active = dist < expand(inclm[..., None])[..., 0]  # (R, nc)
     sel_xy = jnp.take_along_axis(pos[..., :2], sel[..., None], axis=1)

@@ -149,3 +149,24 @@ def test_bench_parse_last_row_salvage():
   assert bench._parse_last_row("") is None
   assert bench._parse_last_row(None) is None
   assert bench._parse_last_row("no rows here") is None
+
+
+def test_bench_probe_classification():
+  """Probe health thresholds (VERDICT r4 item 9): a degraded-but-alive
+  tunnel (slow matmul round trip or slow init) must NOT be treated as
+  healthy — it gets the small known-good configuration instead of the
+  4096-env flagship workload."""
+  import importlib.util
+  import os
+
+  spec = importlib.util.spec_from_file_location(
+    "bench", os.path.join(_REPO_ROOT, "bench.py")
+  )
+  bench = importlib.util.module_from_spec(spec)
+  spec.loader.exec_module(bench)
+
+  assert bench._classify_probe(None) == "dead"
+  healthy = {"matmul_s": 0.001, "init_s": 0.1}
+  assert bench._classify_probe(healthy) == "healthy"
+  assert bench._classify_probe({"matmul_s": 9.0, "init_s": 0.1}) == "degraded"
+  assert bench._classify_probe({"matmul_s": 0.001, "init_s": 90.0}) == "degraded"
