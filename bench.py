@@ -418,32 +418,60 @@ def _classify_probe(probe: dict | None) -> str:
 
 
 def _run_child(spec: dict, timeout_s: float, label: str) -> dict | None:
-  _stamp(f"start {label} (deadline {timeout_s:.0f}s)")
-  try:
-    r = subprocess.run(
-      [sys.executable, os.path.abspath(__file__), "--child",
-       json.dumps(spec)],
-      stdout=subprocess.PIPE, timeout=max(timeout_s, 1.0), text=True,
-    )
-  except subprocess.TimeoutExpired as e:
-    # Children emit a provisional ROW the moment a measurement exists
-    # (before slow post-measurement work like the finite check): salvage
-    # the last ROW from the partial stdout instead of dropping the row.
-    row = _parse_last_row(e.stdout)
-    _stamp(
-      f"{label}: KILLED at deadline ({timeout_s:.0f}s); "
-      + ("salvaged provisional ROW" if row else "no ROW to salvage")
-    )
-    return row
-  if r.returncode != 0:
-    row = _parse_last_row(r.stdout)
-    _stamp(f"{label}: child exited rc={r.returncode}"
-           + ("; salvaged last ROW" if row else ""))
-    return row
-  row = _parse_last_row(r.stdout)
-  if row is None:
-    _stamp(f"{label}: child printed no ROW")
-  return row
+  """Run one measurement child, streaming its stdout.
+
+  Children emit a ROW the moment a measurement exists and keep refining it
+  (forced-completion pull, finite check). On this relay the refinement can
+  block for tens of minutes, so the parent stops waiting BENCH_GRACE_S
+  (default 90 s) after the last ROW arrived — keeping the budget for the
+  remaining sweep rows — and keeps the last ROW. The hard deadline still
+  bounds a child that never produces any ROW."""
+  grace_s = float(os.environ.get("BENCH_GRACE_S", "90"))
+  _stamp(f"start {label} (deadline {timeout_s:.0f}s, grace {grace_s:.0f}s)")
+  proc = subprocess.Popen(
+    [sys.executable, os.path.abspath(__file__), "--child", json.dumps(spec)],
+    stdout=subprocess.PIPE, text=True,
+  )
+  rows: list[dict] = []
+  last_row_t = [0.0]
+
+  import threading
+
+  def reader() -> None:
+    assert proc.stdout is not None
+    for line in proc.stdout:
+      if line.startswith("ROW "):
+        try:
+          rows.append(json.loads(line[4:]))
+          last_row_t[0] = time.perf_counter()
+        except json.JSONDecodeError:
+          pass
+
+  t = threading.Thread(target=reader, daemon=True)
+  t.start()
+  t_start = time.perf_counter()
+  outcome = "exited"
+  while True:
+    if proc.poll() is not None:
+      break
+    now = time.perf_counter()
+    if now - t_start > timeout_s:
+      outcome = f"KILLED at deadline ({timeout_s:.0f}s)"
+      break
+    if rows and now - last_row_t[0] > grace_s:
+      outcome = f"detached after grace ({grace_s:.0f}s past last ROW)"
+      break
+    time.sleep(0.5)
+  if proc.poll() is None:
+    proc.kill()
+  proc.wait()
+  t.join(timeout=10.0)
+  rc = proc.returncode
+  if not rows:
+    _stamp(f"{label}: {outcome} (rc={rc}); no ROW produced")
+    return None
+  _stamp(f"{label}: {outcome} (rc={rc}); {len(rows)} ROW(s)")
+  return rows[-1]
 
 
 def _emit_headline(row: dict) -> None:
