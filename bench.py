@@ -5,12 +5,18 @@ jax, so nothing can hang it: every measurement runs in a subprocess with a
 hard deadline, and the parent owns stdout. Timeline on a healthy backend:
 
   probe (<=150 s)  -> classify healthy / degraded / dead via a timed matmul
-  provisional      -> 1024-env eval, headline printed the moment it lands
+  provisional      -> small-biped eval, headline printed the moment it lands
   full headline    -> 4096-env packed eval, REPLACES the provisional line
                       (the driver keeps the last JSON line)
-  sweep            -> train @4096 (config of record), tracking eval+train,
-                      env-count scaling; BENCH_DETAIL.json rewritten after
-                      every row, each with vs_last from tools/bench_history
+  sweep            -> train @4096 (config of record), tracking eval, train
+                      @1024/@16384, tracking train; BENCH_DETAIL.json is
+                      rewritten after every row, each with vs_last from
+                      tools/bench_history
+
+Children stream ROW lines (measurement first, then forced-completion and
+finite refinements); the parent detaches after a per-phase grace so one
+slow child cannot starve the sweep, and salvages the last ROW of killed
+or crashed children.
 
 A degraded tunnel (alive but pathologically slow) gets a small-biped
 measurement on the accelerator; a dead tunnel falls back to the small
@@ -22,7 +28,7 @@ is >=1M env-steps/s aggregate at 4096 envs/chip, so vs_baseline is reported
 relative to that 1M env-steps/s target.
 
 Env overrides: BENCH_TASK, BENCH_NUM_ENVS, BENCH_STEPS, BENCH_WARMUP,
-BENCH_SCALE, BENCH_BUDGET_S (default 900 s from process start),
+BENCH_SCALE, BENCH_BUDGET_S (default 1200 s from process start),
 BENCH_TRACKING_TASK (second sweep task, "off" disables), BENCH_PACKED=0
 (opt out of the packed stepping API). BENCH_MODE=eval|train restricts to
 one mode at BENCH_NUM_ENVS (one line, no detail file, no probe).
@@ -417,16 +423,18 @@ def _classify_probe(probe: dict | None) -> str:
   return "healthy"
 
 
-def _run_child(spec: dict, timeout_s: float, label: str) -> dict | None:
+def _run_child(spec: dict, timeout_s: float, label: str,
+               grace: float | None = None) -> dict | None:
   """Run one measurement child, streaming its stdout.
 
   Children emit a ROW the moment a measurement exists and keep refining it
   (forced-completion pull, finite check). On this relay the refinement can
-  block for tens of minutes, so the parent stops waiting BENCH_GRACE_S
-  (default 90 s) after the last ROW arrived — keeping the budget for the
-  remaining sweep rows — and keeps the last ROW. The hard deadline still
-  bounds a child that never produces any ROW."""
-  grace_s = float(os.environ.get("BENCH_GRACE_S", "90"))
+  block for tens of minutes, so the parent stops waiting `grace` seconds
+  (BENCH_GRACE_S overrides; headline rows get a longer grace than sweep
+  rows) after the last ROW arrived — keeping the budget for the remaining
+  sweep rows — and keeps the last ROW. The hard deadline still bounds a
+  child that never produces any ROW."""
+  grace_s = float(os.environ.get("BENCH_GRACE_S", grace if grace else 120.0))
   _stamp(f"start {label} (deadline {timeout_s:.0f}s, grace {grace_s:.0f}s)")
   proc = subprocess.Popen(
     [sys.executable, os.path.abspath(__file__), "--child", json.dumps(spec)],
@@ -518,7 +526,7 @@ def main() -> None:
   num_envs = int(os.environ.get("BENCH_NUM_ENVS", "4096"))
   steps = int(os.environ.get("BENCH_STEPS", "50"))
   warmup = int(os.environ.get("BENCH_WARMUP", "5"))
-  budget_s = float(os.environ.get("BENCH_BUDGET_S", "900"))
+  budget_s = float(os.environ.get("BENCH_BUDGET_S", "1200"))
   mode = os.environ.get("BENCH_MODE")
   platform = os.environ.get("JAX_PLATFORMS", "").split(",")[0] or None
 
@@ -627,7 +635,7 @@ def main() -> None:
   prov = _run_child(
     {"kind": "eval_small", "platform": platform, "num_envs": 256,
      "steps": 20, "warmup": 3, "reason": "provisional"},
-    min(remaining(), 240.0), "eval-small provisional")
+    min(remaining(), 240.0), "eval-small provisional", grace=60.0)
   if prov is not None:
     _emit_headline(prov)
     add_row(prov, "small-biped provisional", 256)
@@ -636,7 +644,7 @@ def main() -> None:
   full = _run_child(
     {"kind": "eval", "task": task, "num_envs": num_envs, "steps": steps,
      "warmup": warmup, "platform": platform},
-    min(remaining(), 600.0), f"eval headline g1-{num_envs}")
+    min(remaining(), 600.0), f"eval headline g1-{num_envs}", grace=300.0)
   if full is not None:
     _emit_headline(full)
     add_row(full, f"eval ({task}, {num_envs} envs)", num_envs)
@@ -670,19 +678,24 @@ def main() -> None:
       "iters": train_iters, "platform": platform}, 420.0),
   ]
   if tracking_task and tracking_task != "off":
-    sweep += [
+    sweep.append(
       (f"eval ({tracking_task}, {num_envs} envs)", num_envs,
        {"kind": "eval", "task": tracking_task, "num_envs": num_envs,
-        "steps": steps, "warmup": warmup, "platform": platform}, 300.0),
-      (f"train ({tracking_task}, {num_envs} envs)", num_envs,
-       {"kind": "train", "task": tracking_task, "num_envs": num_envs,
-        "iters": train_iters, "platform": platform}, 420.0),
-    ]
-  for n in scale:
+        "steps": steps, "warmup": warmup, "platform": platform}, 300.0))
+  # The memory-safe scale rows (1024 first) come BEFORE the tracking train
+  # row: the 4096-env train workloads exhaust single-chip HBM under forced
+  # execution (PERF_NOTES r5), and the guaranteed-good >=1M train row must
+  # not be starved by rows that die slowly.
+  for n in sorted(scale):
     sweep.append(
       (f"train ({task}, {n} envs)", n,
        {"kind": "train", "task": task, "num_envs": n,
         "iters": train_iters, "platform": platform}, 300.0))
+  if tracking_task and tracking_task != "off":
+    sweep.append(
+      (f"train ({tracking_task}, {num_envs} envs)", num_envs,
+       {"kind": "train", "task": tracking_task, "num_envs": num_envs,
+        "iters": train_iters, "platform": platform}, 420.0))
 
   for label, n, spec, cap in sweep:
     if remaining() < 30.0:
@@ -690,7 +703,8 @@ def main() -> None:
                    "skipped": f"over budget ({budget_s:.0f}s)"})
       write_detail()
       continue
-    add_row(_run_child(spec, min(remaining(), cap), label), label, n)
+    add_row(_run_child(spec, min(remaining(), cap), label, grace=150.0),
+            label, n)
 
   _append_history(rows, f"full sweep ({health})")
   _stamp("done")
