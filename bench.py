@@ -29,10 +29,12 @@ relative to that 1M env-steps/s target.
 
 Env overrides: BENCH_TASK, BENCH_NUM_ENVS, BENCH_STEPS, BENCH_WARMUP,
 BENCH_SCALE, BENCH_BUDGET_S (default 1200 s from process start),
-BENCH_TRACKING_TASK (second sweep task, "off" disables), BENCH_PACKED=0
-(opt out of the packed stepping API). BENCH_MODE=eval|train restricts to
-one mode at BENCH_NUM_ENVS (one line, no detail file, no probe).
-BENCH_FAST=1 runs the headline eval only (one line, no probe).
+BENCH_GRACE_S (override the per-phase detach grace), BENCH_TRACKING_TASK
+(second sweep task, "off" disables), BENCH_PACKED=0 (opt out of the packed
+stepping API), BENCH_ROLLOUT_CHUNK / BENCH_EPOCH_CHUNK /
+BENCH_PACKED_HOSTLOOP (train host-loop knobs). BENCH_MODE=eval|train
+restricts to one mode at BENCH_NUM_ENVS (one line, no detail file, no
+probe). BENCH_FAST=1 runs the headline eval only (one line, no probe).
 """
 
 from __future__ import annotations

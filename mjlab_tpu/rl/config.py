@@ -78,10 +78,14 @@ class RlOnPolicyRunnerCfg:
   # permutation + every minibatch SGD step) as one jitted call instead of
   # num_mini_batches calls. Both are math-identical to the unchunked path
   # (pinned by tests/test_runner_modes.py).
-  # rollout_chunk=8 is the measured winner on the relay (train 1.94M →
-  # 5.37M env-steps/s at 4096 envs, tools/AB_RESULTS_r3.jsonl) and is
-  # harmless elsewhere: the fused path (real hardware default) ignores it.
-  rollout_chunk: int = 8
+  # rollout_chunk default is 1 (round 5): the r3 A/B that picked 8 measured
+  # DISPATCH rate only; under forced execution chunk=8 ties chunk=1 on real
+  # throughput (793 vs 791 env-steps/s at 1024 envs) and its 8x-unrolled
+  # decimation temps EXHAUST single-chip HBM at 4096 envs (TPU worker
+  # fault/OOM), while chunk=1 trains 4096 envs cleanly — 2.63M dispatch
+  # env-steps/s, finite loss (tools/AB_RESULTS_r5.jsonl). Set >1 only for
+  # small-env configs where launch overhead dominates and memory is slack.
+  rollout_chunk: int = 1
   epoch_chunk: bool = False
   # Pack the host-loop rollout carry (env state + obs + params + norms +
   # transition buffers) into a few flat dtype buffers at the jit boundary
