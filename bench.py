@@ -8,9 +8,9 @@ hard deadline, and the parent owns stdout. Timeline on a healthy backend:
   provisional      -> small-biped eval, headline printed the moment it lands
   full headline    -> 4096-env packed eval, REPLACES the provisional line
                       (the driver keeps the last JSON line)
-  sweep            -> train @4096 (config of record), tracking eval, train
-                      @1024/@16384, tracking train; BENCH_DETAIL.json is
-                      rewritten after every row, each with vs_last from
+  sweep            -> train @4096 (config of record), tracking eval,
+                      tracking train, train @1024/@16384; BENCH_DETAIL.json
+                      is rewritten after every row, each with vs_last from
                       tools/bench_history
 
 Children stream ROW lines (measurement first, then forced-completion and
@@ -28,7 +28,7 @@ is >=1M env-steps/s aggregate at 4096 envs/chip, so vs_baseline is reported
 relative to that 1M env-steps/s target.
 
 Env overrides: BENCH_TASK, BENCH_NUM_ENVS, BENCH_STEPS, BENCH_WARMUP,
-BENCH_SCALE, BENCH_BUDGET_S (default 1200 s from process start),
+BENCH_SCALE, BENCH_BUDGET_S (default 1800 s from process start),
 BENCH_GRACE_S (override the per-phase detach grace), BENCH_TRACKING_TASK
 (second sweep task, "off" disables), BENCH_PACKED=0 (opt out of the packed
 stepping API), BENCH_ROLLOUT_CHUNK / BENCH_EPOCH_CHUNK /
@@ -528,7 +528,7 @@ def main() -> None:
   num_envs = int(os.environ.get("BENCH_NUM_ENVS", "4096"))
   steps = int(os.environ.get("BENCH_STEPS", "50"))
   warmup = int(os.environ.get("BENCH_WARMUP", "5"))
-  budget_s = float(os.environ.get("BENCH_BUDGET_S", "1200"))
+  budget_s = float(os.environ.get("BENCH_BUDGET_S", "1800"))
   mode = os.environ.get("BENCH_MODE")
   platform = os.environ.get("JAX_PLATFORMS", "").split(",")[0] or None
 
@@ -684,20 +684,19 @@ def main() -> None:
       (f"eval ({tracking_task}, {num_envs} envs)", num_envs,
        {"kind": "eval", "task": tracking_task, "num_envs": num_envs,
         "steps": steps, "warmup": warmup, "platform": platform}, 300.0))
-  # The memory-safe scale rows (1024 first) come BEFORE the tracking train
-  # row: the 4096-env train workloads exhaust single-chip HBM under forced
-  # execution (PERF_NOTES r5), and the guaranteed-good >=1M train row must
-  # not be starved by rows that die slowly.
-  for n in sorted(scale):
-    sweep.append(
-      (f"train ({task}, {n} envs)", n,
-       {"kind": "train", "task": task, "num_envs": n,
-        "iters": train_iters, "platform": platform}, 300.0))
+  # Tracking train precedes the env-count scaling rows: it is a BASELINE
+  # task-coverage target ("tracking training runs, 1 chip, 4096 envs"),
+  # unmeasured for four rounds until r5.
   if tracking_task and tracking_task != "off":
     sweep.append(
       (f"train ({tracking_task}, {num_envs} envs)", num_envs,
        {"kind": "train", "task": tracking_task, "num_envs": num_envs,
         "iters": train_iters, "platform": platform}, 420.0))
+  for n in sorted(scale):
+    sweep.append(
+      (f"train ({task}, {n} envs)", n,
+       {"kind": "train", "task": task, "num_envs": n,
+        "iters": train_iters, "platform": platform}, 300.0))
 
   for label, n, spec, cap in sweep:
     if remaining() < 30.0:
