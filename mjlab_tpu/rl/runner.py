@@ -645,6 +645,18 @@ class OnPolicyRunner:
         from mjlab_tpu.rl.exporter import export_policy_as_torchscript
 
         export_policy_as_torchscript(self, self.env, path + "_policy.pt")
+        # Publish the exported policy to the artifact registry (reference
+        # uploads the ONNX to wandb on every save,
+        # tasks/velocity/rl/runner.py:16-38; utils/artifacts.py routes to
+        # wandb when configured, else the local filesystem registry).
+        # Opt-in via MJLAB_REGISTRY_PUBLISH=1 so plain local runs don't
+        # grow a registry silently.
+        if os.environ.get("MJLAB_REGISTRY_PUBLISH") == "1":
+          from mjlab_tpu.utils.artifacts import get_registry
+
+          name = f"policies/{self.cfg.experiment_name or 'run'}"
+          dst = get_registry().publish(path + "_policy.pt", name)
+          print(f"[runner] policy published: {name} -> {dst}")
       except Exception as e:
         print(f"[runner] policy export skipped: {e}")
 

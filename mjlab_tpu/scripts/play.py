@@ -60,9 +60,17 @@ def run_play(task: str, overrides: dict[str, str]) -> None:
   env_over = {k[4:]: v for k, v in overrides.items() if k.startswith("env.")}
   apply_overrides(env_cfg, env_over)
 
-  # First-class motion-file flag for tracking tasks (see train.py; the
-  # reference's wandb-registry download path is descoped — docs/FAQ.md).
+  # Motion sources: --motion-file (direct path) > --registry-name
+  # (artifact registry, utils/artifacts.py — reference wandb flow,
+  # scripts/play.py:167-181 / train.py:48-64).
   motion = overrides.get("motion_file") or overrides.get("motion-file")
+  registry_name = overrides.get("registry_name") or overrides.get(
+    "registry-name"
+  )
+  if not motion and registry_name:
+    from mjlab_tpu.utils.artifacts import resolve_motion_file
+
+    motion = resolve_motion_file(str(registry_name))
   if motion:
     apply_overrides(env_cfg, {"commands.motion.motion_file": motion})
 
@@ -78,6 +86,15 @@ def run_play(task: str, overrides: dict[str, str]) -> None:
   if policy_kind == "trained":
     runner = OnPolicyRunner(env, agent_cfg)
     ckpt = overrides.get("checkpoint")
+    run_path = overrides.get("run_path") or overrides.get("run-path")
+    if ckpt is None and run_path:
+      # Registry run path with local cache (reference utils/os.py:87-113).
+      from mjlab_tpu.utils.artifacts import get_checkpoint_path
+
+      ckpt_path, was_cached = get_checkpoint_path("logs", str(run_path))
+      ckpt = str(ckpt_path)
+      print(f"[play] registry checkpoint {run_path} -> {ckpt} "
+            f"(cached={was_cached})")
     if ckpt is None:
       from mjlab_tpu.utils.os import resolve_latest_checkpoint
 

@@ -44,10 +44,20 @@ def run_train(task: str, overrides: dict[str, str]) -> None:
   apply_overrides(env_cfg, env_over)
   apply_overrides(agent_cfg, agent_over)
 
-  # First-class motion-file flag for tracking tasks (reference pulls the
-  # npz from a wandb registry, scripts/train.py:48-64 — descoped here, see
-  # docs/FAQ.md; motions come from scripts/csv_to_npz.py).
+  # Motion sources for tracking tasks, in precedence order:
+  # --motion-file (direct npz path) > --registry-name (artifact registry —
+  # reference scripts/train.py:48-64; here utils/artifacts.py resolves
+  # from wandb when configured, else from the local filesystem registry;
+  # motions come from scripts/csv_to_npz.py).
   motion = overrides.get("motion_file") or overrides.get("motion-file")
+  registry_name = overrides.get("registry_name") or overrides.get(
+    "registry-name"
+  )
+  if not motion and registry_name:
+    from mjlab_tpu.utils.artifacts import resolve_motion_file
+
+    motion = resolve_motion_file(str(registry_name))
+    print(f"[train] registry artifact {registry_name} -> {motion}")
   if motion:
     apply_overrides(env_cfg, {"commands.motion.motion_file": motion})
 
@@ -235,6 +245,7 @@ def main() -> None:
         usage=f"usage: train {task} [--env.<field> v] [--agent.<field> v] "
         "[--log_dir d] [--profile n] [--enable_nan_guard] "
         "[--mesh auto|off|<n_devices>] [--motion-file p.npz] "
+        "[--registry-name artifact[:alias]] "
         "[--video n_frames [--video_interval iters]]",
       )
     )

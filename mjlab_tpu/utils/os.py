@@ -1,8 +1,8 @@
 """Filesystem helpers: checkpoint resolution, yaml dump
-(reference utils/os.py:52-113). The reference's wandb artifact download
-(utils/os.py:87-113) is DESCOPED — no wandb/egress in this deployment;
-artifacts are local files (docs/FAQ.md "Where is the wandb
-artifact-registry download?")."""
+(reference utils/os.py:52-113). The reference's wandb artifact flows
+(utils/os.py:87-113) live in utils/artifacts.py: a wandb backend when
+configured, else a local filesystem registry (docs/FAQ.md "Where is the
+wandb artifact-registry download?")."""
 
 from __future__ import annotations
 
