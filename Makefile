@@ -53,3 +53,7 @@ multichip-dryrun:
 build:
 	$(PY) -m pip wheel --no-deps -w dist .
 	$(CPU_ENV) $(PY) -m pytest tests/test_env_smoke.py -q
+
+.PHONY: bench-warm
+bench-warm:
+	$(PY) tools/warm_bench_cache.py
