@@ -9,6 +9,7 @@ import numpy as np
 import pytest
 
 import mjlab_tpu.tasks as tasks
+from mjlab_tpu.envs import ManagerBasedRlEnv
 
 EXPECTED_TASKS = [
   "Mjlab-Velocity-Flat-Unitree-G1",
@@ -87,4 +88,25 @@ def test_asimov_rough_env_steps():
   assert np.isfinite(np.asarray(rew)).all()
   # Terrain contact pools are not saturating (VERDICT r3 item 9): standing
   # on rough terrain must not silently drop active contacts past capacity.
+  assert float(extras["log"]["Metrics/physics/terrain_slots_dropped"]) == 0.0
+
+
+@pytest.mark.slow
+def test_g1_rough_full_grid_builds_and_steps():
+  """The SHIPPED rough G1 task at its full 10x20 terrain grid (round 5):
+  the full grid exceeds TERRAIN_POOL_MIN world boxes, forming runtime
+  box-terrain groups whose traced-id model gathers crashed every build
+  until round 5 (physics/collision.py); the shrunk 2x2 grids used by other
+  tests stay below the pool threshold and never exercised this."""
+  cfg = tasks.load_cfg_from_registry(
+    "Mjlab-Velocity-Rough-Unitree-G1", "env_cfg_entry_point"
+  )
+  cfg.scene.num_envs = 2
+  cfg.sim.dtype = "float32"
+  env = ManagerBasedRlEnv(cfg)
+  assert len(env.tp.terrain_groups) > 0, "full grid must form terrain pools"
+  env.reset(seed=0)
+  action = jnp.zeros((2, env.action_manager.total_action_dim), dtype=env.dtype)
+  _, rew, _, _, extras = env.step(action)
+  assert np.isfinite(np.asarray(rew)).all()
   assert float(extras["log"]["Metrics/physics/terrain_slots_dropped"]) == 0.0
