@@ -674,16 +674,22 @@ def main() -> None:
     if s and int(s) != num_envs
   )
 
-  sweep: list[tuple[str, int, dict, float]] = [
+  # (label, num_envs, child spec, deadline cap, grace). The config-of-record
+  # train row gets a 360 s grace: its forced-completion pull takes ~310 s
+  # (PERF_NOTES r5) and the forced_value + loss are the strongest training
+  # evidence in the record; other sweep rows detach at 150 s to protect the
+  # budget.
+  sweep: list[tuple[str, int, dict, float, float]] = [
     (f"train ({task}, {num_envs} envs)", num_envs,
      {"kind": "train", "task": task, "num_envs": num_envs,
-      "iters": train_iters, "platform": platform}, 420.0),
+      "iters": train_iters, "platform": platform}, 600.0, 360.0),
   ]
   if tracking_task and tracking_task != "off":
     sweep.append(
       (f"eval ({tracking_task}, {num_envs} envs)", num_envs,
        {"kind": "eval", "task": tracking_task, "num_envs": num_envs,
-        "steps": steps, "warmup": warmup, "platform": platform}, 300.0))
+        "steps": steps, "warmup": warmup, "platform": platform},
+       300.0, 150.0))
   # Tracking train precedes the env-count scaling rows: it is a BASELINE
   # task-coverage target ("tracking training runs, 1 chip, 4096 envs"),
   # unmeasured for four rounds until r5.
@@ -691,20 +697,20 @@ def main() -> None:
     sweep.append(
       (f"train ({tracking_task}, {num_envs} envs)", num_envs,
        {"kind": "train", "task": tracking_task, "num_envs": num_envs,
-        "iters": train_iters, "platform": platform}, 420.0))
+        "iters": train_iters, "platform": platform}, 420.0, 150.0))
   for n in sorted(scale):
     sweep.append(
       (f"train ({task}, {n} envs)", n,
        {"kind": "train", "task": task, "num_envs": n,
-        "iters": train_iters, "platform": platform}, 300.0))
+        "iters": train_iters, "platform": platform}, 300.0, 150.0))
 
-  for label, n, spec, cap in sweep:
+  for label, n, spec, cap, grace in sweep:
     if remaining() < 30.0:
       rows.append({"metric": label, "num_envs": n,
                    "skipped": f"over budget ({budget_s:.0f}s)"})
       write_detail()
       continue
-    add_row(_run_child(spec, min(remaining(), cap), label, grace=150.0),
+    add_row(_run_child(spec, min(remaining(), cap), label, grace=grace),
             label, n)
 
   _append_history(rows, f"full sweep ({health})")
