@@ -170,3 +170,66 @@ def test_bench_probe_classification():
   assert bench._classify_probe(healthy) == "healthy"
   assert bench._classify_probe({"matmul_s": 9.0, "init_s": 0.1}) == "degraded"
   assert bench._classify_probe({"matmul_s": 0.001, "init_s": 90.0}) == "degraded"
+
+
+@pytest.mark.slow
+def test_train_registry_name_resolves_motion(tmp_path):
+  """`train --registry-name` end to end (reference scripts/train.py:48-64):
+  publish a standing motion to a local registry, train one tiny tracking
+  iteration resolving the motion by artifact name, and expect a checkpoint
+  plus the exported policy."""
+  import os
+
+  import numpy as np  # noqa: F401  (np used via motion synthesis below)
+
+  reg_dir = tmp_path / "registry"
+  code = (
+    "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+    "import mjlab_tpu.tasks as tasks\n"
+    "from mjlab_tpu.tasks.tracking.motions import make_standing_motion\n"
+    "from mjlab_tpu.utils.artifacts import LocalRegistry\n"
+    "cfg = tasks.load_cfg_from_registry("
+    "'Mjlab-Tracking-Flat-Unitree-G1', 'env_cfg_entry_point')\n"
+    f"make_standing_motion(cfg.scene.entities['robot'], r'{tmp_path}/m.npz')\n"
+    f"LocalRegistry().publish(r'{tmp_path}/m.npz', 'motions/standing')\n"
+  )
+  env = dict(os.environ, JAX_PLATFORMS="cpu",
+             MJLAB_REGISTRY_DIR=str(reg_dir))
+  r = subprocess.run([sys.executable, "-c", code], env=env, cwd=_REPO_ROOT,
+                     capture_output=True, text=True, timeout=900)
+  assert r.returncode == 0, r.stderr[-2000:]
+
+  log_dir = tmp_path / "logs"
+  r = _run_script_env(
+    "train",
+    [
+      "Mjlab-Tracking-Flat-Unitree-G1",
+      "--registry-name", "motions/standing",
+      "--env.scene.num_envs", "2",
+      "--agent.num_steps_per_env", "2",
+      "--agent.max_iterations", "1",
+      "--agent.policy.actor_hidden_dims", "(16,16)",
+      "--agent.policy.critic_hidden_dims", "(16,16)",
+      "--agent.algorithm.num_learning_epochs", "1",
+      "--agent.algorithm.num_mini_batches", "1",
+      "--log_dir", str(log_dir),
+      "--mesh", "off",
+    ],
+    extra_env={"MJLAB_REGISTRY_DIR": str(reg_dir)},
+    timeout=1800,
+  )
+  assert r.returncode == 0, r.stderr[-3000:]
+  assert "registry artifact motions/standing" in r.stdout
+  assert (log_dir / "model_1").exists()
+
+
+def _run_script_env(mod, argv, extra_env=None, timeout=240):
+  import os
+
+  code = _RUN_ENV_SNIPPET.format(argv=[mod] + argv, mod=mod)
+  env = dict(os.environ)
+  env.update(extra_env or {})
+  return subprocess.run(
+    [sys.executable, "-c", code], capture_output=True, text=True,
+    timeout=timeout, cwd=_REPO_ROOT, env=env,
+  )
